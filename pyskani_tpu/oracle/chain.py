@@ -5,15 +5,16 @@ by the reference at /root/reference/src/pyskani/_skani/lib.rs:646-653 for a
 single (reference, query) sketch pair:
 
 1. anchors    — shared FracMinHash seeds between the two sketches
-2. chunking   — query contigs partitioned into fixed-length fragments;
-                each fragment yields one ANI estimate
-3. chain DP   — banded sparse chaining with diagonal-drift gap scoring;
+                (sort-merge join of the seed tables)
+2. chain DP   — banded sparse chaining with diagonal-drift gap scoring;
                 union-find groups anchors into chains
-4. intervals  — per-chain query/reference intervals, filtered for quality
+3. intervals  — per-chain query/reference intervals, filtered for quality
                 and reference-overlap consistency
-5. estimate   — per-fragment ANI = (anchors-in-chains / seeds-in-fragment)
-                ^ (1/k); aggregated with mean / 10-90% trimmed mean
-                (robust) / median; aligned fraction from interval unions
+4. fragments  — query contigs partitioned into fixed-length fragments;
+                each covered fragment yields one ANI estimate
+                (anchors-in-fragment / seeds-in-covered-part) ** (1/k)
+5. aggregate  — mean (default), 10-90% trimmed mean (robust), or median
+                across fragments; aligned fractions from interval unions
 
 The skani crate is not vendored in the reference ([RECON] throughout); the
 uncertain details are exposed on ``ChainConfig`` and are pinned by the
@@ -35,22 +36,32 @@ class ChainConfig:
     """All reconstruction dials for the chaining pipeline. [RECON]"""
 
     fragment_length: int = 20_000
-    max_gap_length: int = 300
+    max_gap_length: int = 2_500
     chain_band: int = 25
     anchor_score: float = 50.0
     gap_cost_scale: float = 0.1          # score -= gap * scale
-    min_anchors_chain: int = 3           # chains smaller than this dropped
-    min_anchors_interval: int = 3        # intervals smaller than this dropped
-    max_seed_multiplicity: int = 10_000  # k-mers with more occurrences skipped
-    interval_extend: int = 0             # extend chain intervals by this many bp
-    sort_by: str = "ref"                 # anchor sort order within a fragment
+    min_anchors_chain: int = 1           # chains smaller than this dropped
+    min_chain_score: float = 105.0       # chains scoring below this dropped
+    max_seed_multiplicity: int = 4       # k-mers with more occurrences skipped
+    chain_scope: str = "fragment"        # "fragment" | "global"
+    sort_by: str = "ref"                 # anchor sort order ("ref" | "query")
+    extend_left: int = 0                 # extend intervals left by this many bp
+    extend_right: int = 14               # extend intervals right by k-1 bp
     ani_cap: bool = True                 # cap per-fragment ratio at 1.0
     weighted_mean: bool = False          # weight fragment ANIs by seed count
-    nonoverlap_on_ref: bool = True       # greedy consistency filter on ref
+    nonoverlap_side: str = "none"        # "ref" | "query" | "none"
     nonoverlap_frac: float = 0.5         # max allowed overlap fraction
-    denom_mode: str = "fragment"         # "fragment" | "covered"
+    chunk_side: str = "query"            # side carrying the ANI fragments
+    chain_group_side: str = ""           # side whose fragments bound chains
+                                         # ("" = same as chunk_side)
+    denom_mode: str = "span"             # "fragment"|"covered"|"length"|"span"
     numer_mode: str = "anchors"          # "anchors" | "distinct"
     min_frag_anchors: int = 1            # fragments with fewer anchors excluded
+    bridge_gap: int = 0                  # merge intervals separated by <= this
+    mask_repetitive_denom: str = "own"   # "none" | "own" | "both": exclude
+                                         # repetitive k-mers from the seed count
+    denom_mask_mult: int = 12            # multiplicity threshold for the
+                                         # denominator mask (0 = same as anchors)
 
 
 @dataclasses.dataclass
@@ -67,15 +78,12 @@ class AniEstResult:
     num_anchors: int = 0
     num_chains: int = 0
     fragment_anis: Optional[np.ndarray] = None
+    fragment_weights: Optional[np.ndarray] = None
 
 
 def get_anchors(ref: Sketch, query: Sketch, cfg: ChainConfig):
-    """Sort-merge join of the two seed tables -> anchor arrays.
-
-    Returns dict of arrays: qpos, rpos, qcid, rcid, reverse (bool).
-    """
+    """Sort-merge join of the two seed tables -> anchor arrays."""
     qk, rk = query.kmers, ref.kmers
-    # unique runs in each sorted table
     qu, qstart, qcount = np.unique(qk, return_index=True, return_counts=True)
     ru, rstart, rcount = np.unique(rk, return_index=True, return_counts=True)
     common, qi, ri = np.intersect1d(qu, ru, assume_unique=True, return_indices=True)
@@ -104,13 +112,11 @@ def get_anchors(ref: Sketch, query: Sketch, cfg: ChainConfig):
 
 
 def _fragment_offsets(contig_lengths: List[int], fl: int) -> np.ndarray:
-    """Global fragment-index offset for each contig."""
     counts = [max(1, -(-length // fl)) for length in contig_lengths]
     return np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
 
 
-def assign_fragments(qcid: np.ndarray, qpos: np.ndarray,
-                     contig_lengths: List[int], fl: int) -> Tuple[np.ndarray, int]:
+def assign_fragments(qcid, qpos, contig_lengths, fl) -> Tuple[np.ndarray, int]:
     offs = _fragment_offsets(contig_lengths, fl)
     frag = offs[qcid] + qpos // fl
     return frag, int(offs[-1])
@@ -137,16 +143,16 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
-def chain_fragment(qpos, rpos, rcid, qcid, reverse, cfg: ChainConfig, dp_out=None):
-    """Banded chain DP over the anchors of one query fragment.
+def chain_dp(qpos, rpos, rcid, qcid, reverse, cfg: ChainConfig):
+    """Banded chain DP over a sorted anchor array.
 
-    Anchors must already be sorted (by cfg.sort_by order).  Returns
-    (scores, parent) where parent[i] is the chained predecessor or -1.
+    Returns (scores, parent): parent[i] is the chained predecessor or -1.
     """
     n = len(qpos)
     scores = np.full(n, cfg.anchor_score)
     parent = np.full(n, -1, dtype=np.int64)
     band = cfg.chain_band
+    by_ref = cfg.sort_by == "ref"
     for i in range(1, n):
         best = cfg.anchor_score
         bestj = -1
@@ -154,12 +160,11 @@ def chain_fragment(qpos, rpos, rcid, qcid, reverse, cfg: ChainConfig, dp_out=Non
         for j in range(i - 1, lo - 1, -1):
             if rcid[j] != rcid[i] or qcid[j] != qcid[i] or reverse[j] != reverse[i]:
                 continue
-            if cfg.sort_by == "ref":
+            if by_ref:
                 dr = rpos[i] - rpos[j]
                 dq = qpos[i] - qpos[j] if not reverse[i] else qpos[j] - qpos[i]
             else:
-                dq_raw = qpos[i] - qpos[j]
-                dq = dq_raw
+                dq = qpos[i] - qpos[j]
                 dr = rpos[i] - rpos[j] if not reverse[i] else rpos[j] - rpos[i]
             if dr <= 0 or dq <= 0:
                 continue
@@ -184,44 +189,61 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
         return res
 
     fl = cfg.fragment_length
-    frag, n_frags = assign_fragments(anchors["qcid"], anchors["qpos"],
-                                     query.contig_lengths, fl)
-    # seeds per fragment (denominator): all query seed occurrences
-    qfrag, _ = assign_fragments(query.contig_ids.astype(np.int64),
-                                query.positions.astype(np.int64),
-                                query.contig_lengths, fl)
-    seeds_in_frag = np.bincount(qfrag, minlength=n_frags)
-
-    # sort anchors: fragment-major, then skani Anchor ordering within
-    if cfg.sort_by == "ref":
-        order = np.lexsort((anchors["qpos"], anchors["qcid"],
-                            anchors["rpos"], anchors["rcid"], frag))
+    fside = ref if cfg.chunk_side == "ref" else query
+    f_pos = anchors["rpos"] if cfg.chunk_side == "ref" else anchors["qpos"]
+    f_cid = anchors["rcid"] if cfg.chunk_side == "ref" else anchors["qcid"]
+    frag_all, n_frags = assign_fragments(f_cid, f_pos, fside.contig_lengths, fl)
+    group_side = cfg.chain_group_side or cfg.chunk_side
+    if group_side == cfg.chunk_side:
+        gfrag_all = frag_all
     else:
-        order = np.lexsort((anchors["rpos"], anchors["rcid"],
-                            anchors["qpos"], anchors["qcid"], frag))
+        gside = ref if group_side == "ref" else query
+        g_pos = anchors["rpos"] if group_side == "ref" else anchors["qpos"]
+        g_cid = anchors["rcid"] if group_side == "ref" else anchors["qcid"]
+        gfrag_all, _ = assign_fragments(g_cid, g_pos, gside.contig_lengths, fl)
+    denom_ok = _denominator_seed_mask(fside, ref if fside is query else query, cfg)
+    sfrag, _ = assign_fragments(fside.contig_ids.astype(np.int64)[denom_ok],
+                                fside.positions.astype(np.int64)[denom_ok],
+                                fside.contig_lengths, fl)
+    seeds_in_frag = np.bincount(sfrag, minlength=n_frags)
+
+    # ---- sort & chain ----
+    if cfg.sort_by == "ref":
+        inner = (anchors["qpos"], anchors["qcid"], anchors["rpos"], anchors["rcid"])
+    else:
+        inner = (anchors["rpos"], anchors["rcid"], anchors["qpos"], anchors["qcid"])
+    if cfg.chain_scope == "fragment":
+        order = np.lexsort(inner + (gfrag_all,))
+    else:
+        order = np.lexsort(inner)
     qpos = anchors["qpos"][order]
     rpos = anchors["rpos"][order]
     qcid = anchors["qcid"][order]
     rcid = anchors["rcid"][order]
     rev = anchors["reverse"][order]
-    frag = frag[order]
+    frag = frag_all[order]
+    gfrag = gfrag_all[order]
+    fpos = rpos if cfg.chunk_side == "ref" else qpos
+    fcid = rcid if cfg.chunk_side == "ref" else qcid
 
     n = len(qpos)
     res.num_anchors = n
     uf = _UnionFind(n)
     scores = np.zeros(n)
-    frag_bounds = np.concatenate([[0], np.nonzero(np.diff(frag))[0] + 1, [n]])
-    for b in range(len(frag_bounds) - 1):
-        s, e = frag_bounds[b], frag_bounds[b + 1]
-        sc, par = chain_fragment(qpos[s:e], rpos[s:e], rcid[s:e], qcid[s:e],
-                                 rev[s:e], cfg)
+    if cfg.chain_scope == "fragment":
+        bounds = np.concatenate([[0], np.nonzero(np.diff(gfrag))[0] + 1, [n]])
+    else:
+        bounds = np.array([0, n])
+    for b in range(len(bounds) - 1):
+        s, e = bounds[b], bounds[b + 1]
+        sc, par = chain_dp(qpos[s:e], rpos[s:e], rcid[s:e], qcid[s:e],
+                           rev[s:e], cfg)
         scores[s:e] = sc
         for i in range(e - s):
             if par[i] >= 0:
                 uf.union(s + par[i], s + i)
 
     roots = np.array([uf.find(i) for i in range(n)], dtype=np.int64)
-    # per-chain aggregates
     uniq_roots, chain_id = np.unique(roots, return_inverse=True)
     n_chains = len(uniq_roots)
     res.num_chains = n_chains
@@ -231,24 +253,25 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
     c_rmin = _seg_min(rpos, chain_id, n_chains)
     c_rmax = _seg_max(rpos, chain_id, n_chains)
     c_score = _seg_max(scores, chain_id, n_chains)
-    # chain members all share a fragment; take any member's fragment
     first_member = np.zeros(n_chains, dtype=np.int64)
     first_member[chain_id[::-1]] = np.arange(n - 1, -1, -1)
-    c_frag = frag[first_member]
     c_qcid = qcid[first_member]
     c_rcid = rcid[first_member]
 
-    good = c_anchors >= cfg.min_anchors_chain
-    # consistency filter: greedily keep highest-score chains whose reference
-    # interval does not substantially overlap an already-kept chain
-    keep = good.copy()
-    if cfg.nonoverlap_on_ref:
-        idx_sorted = np.argsort(-c_score[good])
-        good_idx = np.nonzero(good)[0][idx_sorted]
-        kept: dict[int, list] = {}
+    # ---- chain filtering ----
+    keep = c_anchors >= cfg.min_anchors_chain
+    if cfg.min_chain_score > 0:
+        keep &= c_score >= cfg.min_chain_score
+    if cfg.nonoverlap_side != "none":
+        no_cid = c_rcid if cfg.nonoverlap_side == "ref" else c_qcid
+        no_min = c_rmin if cfg.nonoverlap_side == "ref" else c_qmin
+        no_max = c_rmax if cfg.nonoverlap_side == "ref" else c_qmax
+        good_idx = np.nonzero(keep)[0]
+        good_idx = good_idx[np.argsort(-c_score[good_idx], kind="stable")]
+        kept_ivs: dict[int, list] = {}
         for ci in good_idx:
-            ivs = kept.setdefault(int(c_rcid[ci]), [])
-            lo, hi = c_rmin[ci], c_rmax[ci]
+            ivs = kept_ivs.setdefault(int(no_cid[ci]), [])
+            lo, hi = no_min[ci], no_max[ci]
             length = max(1, hi - lo)
             ov = 0
             for (klo, khi) in ivs:
@@ -261,31 +284,50 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
     if len(kept_chains) == 0:
         return res
 
+    ext_l, ext_r = cfg.extend_left, cfg.extend_right
+
     # ---- ANI per fragment ----
     k = float(query.k)
     kept_mask_anchor = keep[chain_id]
+    c_fcid = c_rcid if cfg.chunk_side == "ref" else c_qcid
+    c_fmin = c_rmin if cfg.chunk_side == "ref" else c_qmin
+    c_fmax = c_rmax if cfg.chunk_side == "ref" else c_qmax
     if cfg.numer_mode == "distinct":
-        # count distinct (qcid, qpos) among kept-chain anchors, per fragment
         sel = np.nonzero(kept_mask_anchor)[0]
-        key = (qcid[sel] << 40) | qpos[sel].astype(np.int64)
-        _, first_idx = np.unique(key, return_index=True)
-        anchors_in_frag = np.bincount(frag[sel[first_idx]], minlength=n_frags)
+        key = (fcid[sel] << 40) | fpos[sel]
+        _, fi = np.unique(key, return_index=True)
+        numer = np.bincount(frag[sel[fi]], minlength=n_frags)
     else:
-        anchors_in_frag = np.zeros(n_frags, dtype=np.int64)
-        np.add.at(anchors_in_frag, c_frag[kept_chains], c_anchors[kept_chains])
+        numer = np.bincount(frag[kept_mask_anchor], minlength=n_frags)
 
-    if cfg.denom_mode == "covered":
-        denom = _covered_seeds_per_fragment(
-            kept_chains, c_frag, c_qcid, c_qmin, c_qmax, query, n_frags, fl)
+    if cfg.denom_mode in ("covered", "length", "span"):
+        f_iv = [(int(c_fcid[ci]), int(c_fmin[ci]) - ext_l, int(c_fmax[ci]) + ext_r)
+                for ci in kept_chains]
+        f_iv = _merge_intervals(f_iv, cfg.bridge_gap)
+        fview = dataclasses.replace(
+            fside,
+            positions=fside.positions[denom_ok],
+            contig_ids=fside.contig_ids[denom_ok],
+            kmers=fside.kmers[denom_ok],
+            strands=fside.strands[denom_ok],
+        )
+        if cfg.denom_mode == "span":
+            f_iv = _span_per_fragment(f_iv, fside, n_frags, fl)
+            denom = _covered_seeds_per_fragment(f_iv, fview, n_frags, fl)
+        elif cfg.denom_mode == "covered":
+            denom = _covered_seeds_per_fragment(f_iv, fview, n_frags, fl)
+        else:
+            denom = _covered_length_per_fragment(f_iv, fside, n_frags, fl) // fside.c
     else:
         denom = seeds_in_frag
-    covered = anchors_in_frag >= max(1, cfg.min_frag_anchors)
-    ratio = anchors_in_frag[covered] / np.maximum(denom[covered], 1)
+    covered = numer >= max(1, cfg.min_frag_anchors)
+    ratio = numer[covered] / np.maximum(denom[covered], 1)
     if cfg.ani_cap:
         ratio = np.minimum(ratio, 1.0)
     frag_ani = ratio ** (1.0 / k)
     res.fragment_anis = frag_ani
     weights = denom[covered].astype(np.float64)
+    res.fragment_weights = weights
 
     if median:
         res.ani = float(np.median(frag_ani))
@@ -299,11 +341,12 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
         res.ani = float(frag_ani.mean())
 
     # ---- aligned fractions ----
-    ext = cfg.interval_extend
-    q_iv = [(int(c_qcid[ci]), int(c_qmin[ci]), int(c_qmax[ci]) + ext)
+    q_iv = [(int(c_qcid[ci]), int(c_qmin[ci]) - ext_l, int(c_qmax[ci]) + ext_r)
             for ci in kept_chains]
-    r_iv = [(int(c_rcid[ci]), int(c_rmin[ci]), int(c_rmax[ci]) + ext)
+    r_iv = [(int(c_rcid[ci]), int(c_rmin[ci]) - ext_l, int(c_rmax[ci]) + ext_r)
             for ci in kept_chains]
+    q_iv = _merge_intervals(q_iv, cfg.bridge_gap)
+    r_iv = _merge_intervals(r_iv, cfg.bridge_gap)
     res.align_fraction_query = _covered_fraction(q_iv, query.contig_lengths,
                                                  query.total_sequence_length)
     res.align_fraction_ref = _covered_fraction(r_iv, ref.contig_lengths,
@@ -311,42 +354,144 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
     return res
 
 
-def _covered_seeds_per_fragment(kept_chains, c_frag, c_qcid, c_qmin, c_qmax,
-                                query: Sketch, n_frags: int, fl: int):
-    """Per fragment: number of query seeds inside the union of kept-chain
-    query intervals clipped to the fragment."""
+def _merge_intervals(intervals, bridge_gap: int):
+    """Merge (contig, lo, hi) intervals whose gap is <= bridge_gap."""
+    if bridge_gap <= 0 or not intervals:
+        return intervals
+    out = []
+    for cid, lo, hi in sorted(intervals):
+        if out and out[-1][0] == cid and lo - out[-1][2] <= bridge_gap:
+            out[-1][2] = max(out[-1][2], hi)
+        else:
+            out.append([cid, lo, hi])
+    return [tuple(t) for t in out]
+
+
+def _covered_seeds_per_fragment(intervals, query: Sketch, n_frags: int, fl: int):
+    """Per fragment: number of query seeds inside the union of chain query
+    intervals clipped to the fragment."""
     from collections import defaultdict
-    ivs_by_frag: dict[int, list] = defaultdict(list)
     offs = _fragment_offsets(query.contig_lengths, fl)
-    for ci in kept_chains:
-        f = int(c_frag[ci])
-        cid = int(c_qcid[ci])
-        base = (f - offs[cid]) * fl
-        lo = max(int(c_qmin[ci]), base)
-        hi = min(int(c_qmax[ci]), base + fl - 1)
-        if hi >= lo:
-            ivs_by_frag[f].append((cid, lo, hi))
-    # sorted query seed positions per contig
+    ivs_by_frag: dict[int, list] = defaultdict(list)
+    for cid, lo, hi in intervals:
+        lo = max(lo, 0)
+        hi = min(hi, query.contig_lengths[cid] - 1)
+        f0 = offs[cid] + lo // fl
+        f1 = offs[cid] + hi // fl
+        for f in range(f0, f1 + 1):
+            base = (f - offs[cid]) * fl
+            clo = max(lo, base)
+            chi = min(hi, base + fl - 1)
+            if chi >= clo:
+                ivs_by_frag[f].append((clo, chi))
     order = np.lexsort((query.positions, query.contig_ids))
     cid_sorted = query.contig_ids[order]
     pos_sorted = query.positions[order].astype(np.int64)
     contig_starts = np.searchsorted(cid_sorted, np.arange(len(query.contig_lengths) + 1))
+    # contig of each fragment
     denom = np.zeros(n_frags, dtype=np.int64)
+    frag_contig = np.zeros(n_frags, dtype=np.int64)
+    for cid in range(len(query.contig_lengths)):
+        frag_contig[offs[cid]:offs[cid + 1]] = cid
     for f, ivs in ivs_by_frag.items():
-        ivs.sort(key=lambda t: (t[0], t[1]))
+        ivs.sort()
         merged = []
-        for cid, lo, hi in ivs:
-            if merged and merged[-1][0] == cid and lo <= merged[-1][2] + 1:
-                merged[-1][2] = max(merged[-1][2], hi)
+        for lo, hi in ivs:
+            if merged and lo <= merged[-1][1] + 1:
+                merged[-1][1] = max(merged[-1][1], hi)
             else:
-                merged.append([cid, lo, hi])
+                merged.append([lo, hi])
+        cid = frag_contig[f]
+        s, e = contig_starts[cid], contig_starts[cid + 1]
         count = 0
-        for cid, lo, hi in merged:
-            s, e = contig_starts[cid], contig_starts[cid + 1]
+        for lo, hi in merged:
             count += np.searchsorted(pos_sorted[s:e], hi, side="right") - \
                      np.searchsorted(pos_sorted[s:e], lo, side="left")
         denom[f] = count
     return denom
+
+
+def _denominator_seed_mask(side: Sketch, other: Sketch, cfg: ChainConfig) -> np.ndarray:
+    """Boolean mask over ``side``'s seed table: which occurrences count
+    toward the per-fragment seed denominator.  Repetitive k-mers (those
+    excluded from anchoring by the multiplicity filter) can be masked out
+    ("own": own-table multiplicity only; "both": either table)."""
+    n = len(side.kmers)
+    if cfg.mask_repetitive_denom == "none" or n == 0:
+        return np.ones(n, dtype=bool)
+    thr = cfg.denom_mask_mult or cfg.max_seed_multiplicity
+    uniq, inv, counts = np.unique(side.kmers, return_inverse=True, return_counts=True)
+    ok = counts[inv] <= thr
+    if cfg.mask_repetitive_denom == "both" and len(other.kmers):
+        o_uniq, o_counts = np.unique(other.kmers, return_counts=True)
+        idx = np.searchsorted(o_uniq, uniq)
+        idx_c = np.clip(idx, 0, len(o_uniq) - 1)
+        present = o_uniq[idx_c] == uniq
+        o_count_for_uniq = np.where(present, o_counts[idx_c], 0)
+        ok &= o_count_for_uniq[inv] <= thr
+    return ok
+
+
+def _span_per_fragment(intervals, side: Sketch, n_frags: int, fl: int):
+    """Collapse intervals to one first-to-last span per fragment (interior
+    gaps inside a fragment count toward the denominator)."""
+    offs = _fragment_offsets(side.contig_lengths, fl)
+    span: dict[int, list] = {}
+    cid_of: dict[int, int] = {}
+    for cid, lo, hi in intervals:
+        lo = max(lo, 0)
+        hi = min(hi, side.contig_lengths[cid] - 1)
+        if hi < lo:
+            continue
+        f0 = offs[cid] + lo // fl
+        f1 = offs[cid] + hi // fl
+        for f in range(f0, f1 + 1):
+            base = (f - offs[cid]) * fl
+            clo = max(lo, base)
+            chi = min(hi, base + fl - 1)
+            if chi < clo:
+                continue
+            if f in span:
+                span[f][0] = min(span[f][0], clo)
+                span[f][1] = max(span[f][1], chi)
+            else:
+                span[f] = [clo, chi]
+                cid_of[f] = cid
+    return [(cid_of[f], lo, hi) for f, (lo, hi) in span.items()]
+
+
+def _covered_length_per_fragment(intervals, side: Sketch, n_frags: int, fl: int):
+    """Per fragment: number of bases covered by the interval union."""
+    from collections import defaultdict
+    offs = _fragment_offsets(side.contig_lengths, fl)
+    cov = np.zeros(n_frags, dtype=np.int64)
+    merged_by_frag: dict[int, list] = defaultdict(list)
+    for cid, lo, hi in intervals:
+        lo = max(lo, 0)
+        hi = min(hi, side.contig_lengths[cid] - 1)
+        if hi < lo:
+            continue
+        f0 = offs[cid] + lo // fl
+        f1 = offs[cid] + hi // fl
+        for f in range(f0, f1 + 1):
+            base = (f - offs[cid]) * fl
+            clo = max(lo, base)
+            chi = min(hi, base + fl - 1)
+            if chi >= clo:
+                merged_by_frag[f].append((clo, chi))
+    for f, ivs in merged_by_frag.items():
+        ivs.sort()
+        cur_lo, cur_hi = ivs[0]
+        total = 0
+        for lo, hi in ivs[1:]:
+            if lo > cur_hi:
+                total += cur_hi - cur_lo + 1
+                cur_lo, cur_hi = lo, hi
+            else:
+                cur_hi = max(cur_hi, hi)
+        total += cur_hi - cur_lo + 1
+        cov[f] = total
+    return cov
 
 
 def _seg_min(vals, seg, n):
@@ -362,22 +507,24 @@ def _seg_max(vals, seg, n):
 
 
 def _covered_fraction(intervals, contig_lengths, total_len) -> float:
-    """Union length of (contig, lo, hi) intervals divided by total length."""
+    """Union length of (contig, lo, hi) inclusive intervals / total length."""
     if not intervals or total_len == 0:
         return 0.0
     by_contig: dict[int, list] = {}
     for cid, lo, hi in intervals:
-        by_contig.setdefault(cid, []).append((lo, hi))
+        lo = max(lo, 0)
+        hi = min(hi, contig_lengths[cid] - 1)
+        if hi >= lo:
+            by_contig.setdefault(cid, []).append((lo, hi))
     covered = 0
     for cid, ivs in by_contig.items():
         ivs.sort()
         cur_lo, cur_hi = ivs[0]
-        clen = contig_lengths[cid]
         for lo, hi in ivs[1:]:
             if lo > cur_hi:
-                covered += min(cur_hi, clen - 1) - cur_lo + 1
+                covered += cur_hi - cur_lo + 1
                 cur_lo, cur_hi = lo, hi
             else:
                 cur_hi = max(cur_hi, hi)
-        covered += min(cur_hi, clen - 1) - cur_lo + 1
+        covered += cur_hi - cur_lo + 1
     return covered / total_len
