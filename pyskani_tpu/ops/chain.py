@@ -1,0 +1,380 @@
+"""Device-side anchor chaining + ANI/AF estimation (the flagship op).
+
+TPU-native equivalent of ``skani::chain::chain_seeds`` (reference call
+site: /root/reference/src/pyskani/_skani/lib.rs:646-653), with semantics
+defined by the fitted NumPy oracle (pyskani_tpu.oracle.chain).  Design:
+
+* anchors come from a vectorised sorted-join of the two seed tables with
+  a static anchor budget (no hash maps);
+* anchors are scattered into a [fragments, anchors-per-fragment] grid;
+  the banded chain DP runs as ONE ``lax.scan`` over the anchor axis with
+  every fragment advanced in lockstep (the sequential dependency is per
+  fragment, so the vector unit processes all fragments x band lanes in
+  parallel at each step);
+* chains are identified by the DP's union roots (each anchor adopts its
+  chosen predecessor's root), so per-chain statistics are plain masked
+  segment reductions on the grid — no host-side union-find;
+* interval unions (aligned fraction) are computed in global genome
+  coordinates via sort + exclusive running max;
+* the three estimators (mean / 10-90% trimmed mean / median) are all
+  produced in one pass from the sorted per-fragment ANI vector.
+
+Everything is static-shape and jit/vmap/shard_map compatible.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .sketch import DeviceSketch, I32_SENTINEL
+from ..oracle.chain import ChainConfig
+
+NEG_BIG = jnp.int32(-(2**30))
+POS_BIG = jnp.int32(2**30)
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineBudgets:
+    """Static shape budgets for the pair pipeline."""
+
+    max_anchors: int = 65536
+    max_fragments: int = 384
+    max_anchors_per_fragment: int = 512
+
+
+def _check_supported(cfg: ChainConfig):
+    if cfg.chunk_side != "query" or (cfg.chain_group_side not in ("", "query")):
+        raise NotImplementedError("engine implements query-side fragments")
+    if cfg.nonoverlap_side != "none":
+        raise NotImplementedError("engine implements nonoverlap_side='none'")
+    if cfg.denom_mode not in ("span", "fragment"):
+        raise NotImplementedError("engine implements span/fragment denominators")
+    if cfg.numer_mode != "anchors":
+        raise NotImplementedError("engine implements anchors numerator")
+    if cfg.sort_by != "ref":
+        raise NotImplementedError("engine implements ref-sorted chaining")
+    if cfg.chain_scope != "fragment":
+        raise NotImplementedError("engine implements fragment-scoped chains")
+    if cfg.bridge_gap != 0 or cfg.weighted_mean or not cfg.ani_cap:
+        raise NotImplementedError
+
+
+def _contig_layout(sk: DeviceSketch, fl: int):
+    """(contig_starts, frag_offsets) in global coordinates, plus counts."""
+    clens = sk.contig_lengths
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(clens, dtype=jnp.int32)])
+    nfr = jnp.where(jnp.arange(clens.shape[0]) < sk.n_contigs,
+                    -(-clens // fl), 0).astype(jnp.int32)
+    frag_offs = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                 jnp.cumsum(nfr, dtype=jnp.int32)])
+    return starts, frag_offs
+
+
+def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
+                  budgets: EngineBudgets):
+    """Cartesian anchors of shared non-repetitive k-mers (static budget).
+
+    Query-occurrence-major order, matching the oracle's join order so that
+    later stable sorts tie-break identically.
+    """
+    S = query.seed_budget
+    left = jnp.searchsorted(ref.kmers, query.kmers, side="left")
+    right = jnp.searchsorted(ref.kmers, query.kmers, side="right")
+    rc = (right - left).astype(jnp.int32)
+    q_valid = jnp.arange(S) < query.n_seeds
+    ok = q_valid & (query.own_mult <= cfg.max_seed_multiplicity) & \
+        (rc > 0) & (rc <= cfg.max_seed_multiplicity)
+    counts = jnp.where(ok, rc, 0)
+    offs = jnp.cumsum(counts) - counts          # exclusive prefix
+    total = jnp.minimum(offs[-1] + counts[-1], budgets.max_anchors)
+
+    A = budgets.max_anchors
+    t = jnp.arange(A, dtype=jnp.int32)
+    # source query seed for each output slot
+    src = jnp.searchsorted(offs + counts, t, side="right").astype(jnp.int32)
+    src = jnp.minimum(src, S - 1)
+    j = t - offs[src]
+    a_valid = t < total
+    r_idx = jnp.minimum(left[src] + j, ref.seed_budget - 1)
+
+    return dict(
+        qpos=jnp.where(a_valid, query.positions[src], I32_SENTINEL),
+        qcid=jnp.where(a_valid, query.contig_ids[src], I32_SENTINEL),
+        qstrand=query.strands[src],
+        rpos=jnp.where(a_valid, ref.positions[r_idx], I32_SENTINEL),
+        rcid=jnp.where(a_valid, ref.contig_ids[r_idx], I32_SENTINEL),
+        rev=query.strands[src] != ref.strands[r_idx],
+        valid=a_valid,
+        n_anchors=total,
+    )
+
+
+def _dp_scan(grid, cfg: ChainConfig, budgets: EngineBudgets):
+    """Banded chain DP over the [NF, PF] anchor grid.
+
+    Returns (scores [NF, PF], roots [NF, PF]): roots are the grid column
+    index of each anchor's chain head (oracle: union-find component).
+    """
+    NF, PF = grid["qpos"].shape
+    band = cfg.chain_band
+
+    def step(carry, xs):
+        # carry: dict of [NF, band] windows (slot 0 = most recent)
+        cur = xs  # dict of [NF]
+        w = carry
+        dr = cur["rpos"][:, None] - w["rpos"]
+        dq_f = cur["qpos"][:, None] - w["qpos"]
+        dq = jnp.where(cur["rev"][:, None], -dq_f, dq_f)
+        same = (w["rcid"] == cur["rcid"][:, None]) & \
+               (w["qcid"] == cur["qcid"][:, None]) & \
+               (w["rev"] == cur["rev"][:, None]) & w["valid"] & \
+               cur["valid"][:, None]
+        gap = jnp.abs(dr - dq)
+        ok = same & (dr > 0) & (dq > 0) & (gap < cfg.max_gap_length)
+        cand = w["score"] + cfg.anchor_score - gap.astype(jnp.float32) * cfg.gap_cost_scale
+        cand = jnp.where(ok, cand, -jnp.inf)
+        best = jnp.max(cand, axis=1)
+        extend = best > cfg.anchor_score
+        # tie-break: the oracle scans predecessors nearest-first and keeps
+        # the first strict improvement, so ties resolve to the most recent
+        # predecessor = smallest window slot index.
+        is_best = cand == best[:, None]
+        slot_ids = jnp.arange(band, dtype=jnp.int32)[None, :]
+        best_slot = jnp.min(jnp.where(is_best, slot_ids, band), axis=1)
+        best_slot = jnp.minimum(best_slot, band - 1)
+        root_of_best = jnp.take_along_axis(w["root"], best_slot[:, None],
+                                           axis=1)[:, 0]
+        score = jnp.where(extend, best, cfg.anchor_score)
+        root = jnp.where(extend & cur["valid"], root_of_best, cur["col"])
+        # push current anchor into window slot 0
+        new_w = {}
+        for key in ("rpos", "qpos", "rcid", "qcid"):
+            new_w[key] = jnp.concatenate(
+                [cur[key][:, None], w[key][:, :-1]], axis=1)
+        new_w["rev"] = jnp.concatenate([cur["rev"][:, None], w["rev"][:, :-1]],
+                                       axis=1)
+        new_w["valid"] = jnp.concatenate(
+            [cur["valid"][:, None], w["valid"][:, :-1]], axis=1)
+        new_w["score"] = jnp.concatenate([score[:, None], w["score"][:, :-1]],
+                                         axis=1)
+        new_w["root"] = jnp.concatenate([root[:, None], w["root"][:, :-1]],
+                                        axis=1)
+        return new_w, (score, root)
+
+    init = {
+        "rpos": jnp.full((NF, band), I32_SENTINEL),
+        "qpos": jnp.full((NF, band), I32_SENTINEL),
+        "rcid": jnp.full((NF, band), I32_SENTINEL),
+        "qcid": jnp.full((NF, band), I32_SENTINEL),
+        "rev": jnp.zeros((NF, band), bool),
+        "valid": jnp.zeros((NF, band), bool),
+        "score": jnp.full((NF, band), -jnp.inf, jnp.float32),
+        "root": jnp.zeros((NF, band), jnp.int32),
+    }
+    xs = {
+        "rpos": grid["rpos"].T, "qpos": grid["qpos"].T,
+        "rcid": grid["rcid"].T, "qcid": grid["qcid"].T,
+        "rev": grid["rev"].T, "valid": grid["valid"].T,
+        "col": jnp.broadcast_to(jnp.arange(PF, dtype=jnp.int32)[:, None],
+                                (PF, NF)),
+    }
+    _, (scores, roots) = jax.lax.scan(step, init, xs)
+    return scores.T, roots.T  # [NF, PF]
+
+
+def _union_length(lo: jax.Array, hi: jax.Array, valid: jax.Array) -> jax.Array:
+    """Total length of the union of inclusive intervals [lo, hi] (global
+    coordinates; intervals never span contigs)."""
+    lo_s = jnp.where(valid, lo, POS_BIG)
+    hi_s = jnp.where(valid, hi, NEG_BIG)
+    lo_s, hi_s = jax.lax.sort((lo_s, hi_s), num_keys=1, is_stable=True)
+    cmax = jax.lax.cummax(hi_s)
+    prev = jnp.concatenate([jnp.full(1, NEG_BIG), cmax[:-1]])
+    contrib = jnp.maximum(0, hi_s - jnp.maximum(lo_s - 1, prev))
+    contrib = jnp.where(hi_s == NEG_BIG, 0, contrib)
+    return jnp.sum(contrib)
+
+
+def _interp_quantile(sorted_vals: jax.Array, n: jax.Array, q: float) -> jax.Array:
+    """Linear-interpolation quantile of the first n entries (np.quantile)."""
+    pos = q * (n.astype(jnp.float32) - 1.0)
+    lo = jnp.floor(pos).astype(jnp.int32)
+    hi = jnp.minimum(lo + 1, n - 1)
+    w = pos - lo.astype(jnp.float32)
+    return sorted_vals[lo] * (1 - w) + sorted_vals[hi] * w
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "budgets"))
+def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
+               cfg: ChainConfig, budgets: EngineBudgets):
+    """Full pair pipeline on device: anchors -> chains -> ANI/AF.
+
+    Returns a dict of scalars: ani_mean, ani_robust, ani_median, af_query,
+    af_ref, n_anchors, n_fragments (all device arrays).
+    """
+    _check_supported(cfg)
+    fl = cfg.fragment_length
+    NF = budgets.max_fragments
+    PF = budgets.max_anchors_per_fragment
+
+    q_starts, q_frag_offs = _contig_layout(query, fl)
+    r_starts, _ = _contig_layout(ref, fl)
+
+    a = _join_anchors(ref, query, cfg, budgets)
+
+    cid_safe = jnp.clip(a["qcid"], 0, query.contig_lengths.shape[0] - 1)
+    frag = jnp.where(a["valid"],
+                     q_frag_offs[cid_safe] + a["qpos"] // fl, I32_SENTINEL)
+
+    # ---- sort anchors by (frag, rcid, rpos, qcid, qpos), stable ----
+    frag_s, rcid_s, rpos_s, qcid_s, qpos_s, rev_s, valid_s = jax.lax.sort(
+        (frag, a["rcid"], a["rpos"], a["qcid"], a["qpos"], a["rev"],
+         a["valid"]),
+        num_keys=5, is_stable=True)
+
+    # rank within fragment, scatter to [NF, PF] grid
+    A = frag_s.shape[0]
+    first_of_frag = jnp.searchsorted(frag_s, frag_s, side="left")
+    rank = jnp.arange(A, dtype=jnp.int32) - first_of_frag.astype(jnp.int32)
+    ok = valid_s & (frag_s < NF) & (rank < PF)
+    row = jnp.where(ok, frag_s, NF)   # overflow row NF is discarded
+    col = jnp.where(ok, rank, PF)
+
+    def grid_of(vals, fill):
+        g = jnp.full((NF + 1, PF + 1), fill, vals.dtype)
+        g = g.at[row, col].set(jnp.where(ok, vals, fill))
+        return g[:NF, :PF]
+
+    grid = {
+        "qpos": grid_of(qpos_s, I32_SENTINEL),
+        "rpos": grid_of(rpos_s, I32_SENTINEL),
+        "qcid": grid_of(qcid_s, I32_SENTINEL),
+        "rcid": grid_of(rcid_s, I32_SENTINEL),
+        "rev": grid_of(rev_s, False),
+        "valid": grid_of(ok, False),
+    }
+
+    scores, roots = _dp_scan(grid, cfg, budgets)
+
+    # ---- per-chain stats: scatter into [NF, PF] bins keyed by root ----
+    rows = jnp.broadcast_to(jnp.arange(NF, dtype=jnp.int32)[:, None], (NF, PF))
+    v = grid["valid"]
+    rootc = jnp.where(v, roots, PF)
+    c_count = jnp.zeros((NF, PF + 1), jnp.int32).at[rows, rootc].add(
+        v.astype(jnp.int32))[:, :PF]
+    c_score = jnp.full((NF, PF + 1), -jnp.inf).at[rows, rootc].max(
+        jnp.where(v, scores, -jnp.inf))[:, :PF]
+    c_qmin = jnp.full((NF, PF + 1), POS_BIG).at[rows, rootc].min(
+        jnp.where(v, grid["qpos"], POS_BIG))[:, :PF]
+    c_qmax = jnp.full((NF, PF + 1), NEG_BIG).at[rows, rootc].max(
+        jnp.where(v, grid["qpos"], NEG_BIG))[:, :PF]
+    c_rmin = jnp.full((NF, PF + 1), POS_BIG).at[rows, rootc].min(
+        jnp.where(v, grid["rpos"], POS_BIG))[:, :PF]
+    c_rmax = jnp.full((NF, PF + 1), NEG_BIG).at[rows, rootc].max(
+        jnp.where(v, grid["rpos"], NEG_BIG))[:, :PF]
+    c_qcid = jnp.full((NF, PF + 1), I32_SENTINEL).at[rows, rootc].min(
+        jnp.where(v, grid["qcid"], I32_SENTINEL))[:, :PF]
+    c_rcid = jnp.full((NF, PF + 1), I32_SENTINEL).at[rows, rootc].min(
+        jnp.where(v, grid["rcid"], I32_SENTINEL))[:, :PF]
+
+    keep = (c_count >= cfg.min_anchors_chain)
+    if cfg.min_chain_score > 0:
+        keep &= c_score >= cfg.min_chain_score
+    keep &= c_count > 0
+
+    # ---- per-fragment numerator / span denominator ----
+    numer = jnp.sum(jnp.where(keep, c_count, 0), axis=1)  # [NF]
+
+    frag_ids = jnp.arange(NF, dtype=jnp.int32)
+    # contig id of each fragment + its base position (query side)
+    frag_cid = (jnp.searchsorted(q_frag_offs, frag_ids, side="right") - 1
+                ).astype(jnp.int32)
+    frag_cid = jnp.clip(frag_cid, 0, query.contig_lengths.shape[0] - 1)
+    frag_base = (frag_ids - q_frag_offs[frag_cid]) * fl
+    frag_clen = query.contig_lengths[frag_cid]
+    frag_end = jnp.minimum(frag_base + fl - 1, frag_clen - 1)
+
+    ext_l, ext_r = cfg.extend_left, cfg.extend_right
+    span_lo = jnp.min(jnp.where(keep, c_qmin - ext_l, POS_BIG), axis=1)
+    span_hi = jnp.max(jnp.where(keep, c_qmax + ext_r, NEG_BIG), axis=1)
+    span_lo = jnp.maximum(span_lo, frag_base)
+    span_hi = jnp.minimum(span_hi, frag_end)
+
+    if cfg.denom_mode == "span":
+        # count denominator-eligible seeds with global pos in [lo, hi]
+        denom_thr = cfg.denom_mask_mult or cfg.max_seed_multiplicity
+        p_valid = jnp.arange(query.seed_budget) < query.n_seeds
+        if cfg.mask_repetitive_denom == "none":
+            p_ok = p_valid
+        else:
+            p_ok = p_valid & (query.p_own_mult <= denom_thr)
+        p_cid_safe = jnp.clip(query.p_contig_ids, 0,
+                              query.contig_lengths.shape[0] - 1)
+        p_gpos = jnp.where(p_valid, q_starts[p_cid_safe] + query.p_positions,
+                           POS_BIG)
+        prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(p_ok.astype(jnp.int32))])
+        g_lo = q_starts[frag_cid] + span_lo
+        g_hi = q_starts[frag_cid] + span_hi
+        denom = prefix[jnp.searchsorted(p_gpos, g_hi + 1, side="left")] - \
+            prefix[jnp.searchsorted(p_gpos, g_lo, side="left")]
+    else:
+        raise NotImplementedError
+
+    covered = numer >= jnp.maximum(1, cfg.min_frag_anchors)
+    ratio = jnp.minimum(numer.astype(jnp.float32) /
+                        jnp.maximum(denom.astype(jnp.float32), 1.0), 1.0)
+    frag_ani = jnp.where(covered, ratio ** (1.0 / cfg_k(query, cfg)), jnp.inf)
+
+    # ---- estimators from one sorted pass ----
+    n_cov = jnp.sum(covered, dtype=jnp.int32)
+    s = jnp.sort(frag_ani)
+    mean = jnp.sum(jnp.where(covered, frag_ani, 0.0)) / \
+        jnp.maximum(n_cov.astype(jnp.float32), 1.0)
+    q10 = _interp_quantile(s, n_cov, 0.1)
+    q90 = _interp_quantile(s, n_cov, 0.9)
+    in_win = (s >= q10) & (s <= q90) & (jnp.arange(NF) < n_cov)
+    robust = jnp.sum(jnp.where(in_win, s, 0.0)) / \
+        jnp.maximum(jnp.sum(in_win, dtype=jnp.float32), 1.0)
+    # np.median: average of the two middle order statistics
+    mid_hi = jnp.clip(n_cov // 2, 0, NF - 1)
+    mid_lo = jnp.clip((n_cov - 1) // 2, 0, NF - 1)
+    med = 0.5 * (s[mid_lo] + s[mid_hi])
+
+    # ---- aligned fractions ----
+    kf = keep.reshape(-1)
+    qcid_safe = jnp.clip(c_qcid.reshape(-1), 0,
+                         query.contig_lengths.shape[0] - 1)
+    rcid_safe = jnp.clip(c_rcid.reshape(-1), 0,
+                         ref.contig_lengths.shape[0] - 1)
+    q_lo = q_starts[qcid_safe] + jnp.maximum(c_qmin.reshape(-1) - ext_l, 0)
+    q_hi = q_starts[qcid_safe] + jnp.minimum(
+        c_qmax.reshape(-1) + ext_r, query.contig_lengths[qcid_safe] - 1)
+    r_lo = r_starts[rcid_safe] + jnp.maximum(c_rmin.reshape(-1) - ext_l, 0)
+    r_hi = r_starts[rcid_safe] + jnp.minimum(
+        c_rmax.reshape(-1) + ext_r, ref.contig_lengths[rcid_safe] - 1)
+    af_q = _union_length(q_lo, q_hi, kf).astype(jnp.float32) / \
+        jnp.maximum(query.total_len.astype(jnp.float32), 1.0)
+    af_r = _union_length(r_lo, r_hi, kf).astype(jnp.float32) / \
+        jnp.maximum(ref.total_len.astype(jnp.float32), 1.0)
+
+    no_cov = n_cov == 0
+    return dict(
+        ani_mean=jnp.where(no_cov, 0.0, mean),
+        ani_robust=jnp.where(no_cov, 0.0, robust),
+        ani_median=jnp.where(no_cov, 0.0, med),
+        af_query=af_q,
+        af_ref=af_r,
+        n_anchors=a["n_anchors"],
+        n_fragments=n_cov,
+    )
+
+
+def cfg_k(query: DeviceSketch, cfg: ChainConfig) -> float:
+    # k is carried statically by the engine config (SketchParams.k = 15)
+    return 15.0

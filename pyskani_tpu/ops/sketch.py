@@ -1,0 +1,284 @@
+"""Device-side FracMinHash sketching (XLA/JAX compute path).
+
+TPU-native equivalent of ``skani::seeding::fmh_seeds`` (reference call site:
+/root/reference/src/pyskani/_skani/lib.rs:165-171).  Design departures from
+the Rust original, for the TPU:
+
+* all contigs of a genome are concatenated into ONE fixed-size buffer with
+  per-position contig ids; k-mers spanning contig boundaries are masked
+  instead of looping per contig (single jit, static shapes);
+* the hash-threshold test runs on every position as a dense vector op
+  (mm_hash64 on emulated u32-pair lanes, see pyskani_tpu.ops.u64), followed
+  by compaction into a fixed seed budget;
+* the resulting seed table is sorted by (kmer, contig, position) so that
+  anchor finding is a sorted-array join, and a second position-sorted view
+  is kept for per-fragment denominator counting;
+* marker k-mers (k=21, compression marker_c) are deduplicated on device
+  into a sorted (hi, lo) pair table used by the screening op.
+
+Semantics match pyskani_tpu.oracle.seeding exactly (tested in
+tests/test_device_sketch.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import u64
+from ..oracle.seeding import BYTE_TO_SEQ
+from ..params import MIN_LENGTH_CONTIG, SketchParams
+
+U32_SENTINEL = jnp.uint32(0xFFFFFFFF)
+I32_SENTINEL = jnp.int32(0x7FFFFFFF)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "kmers", "positions", "contig_ids", "strands", "own_mult",
+        "p_positions", "p_contig_ids", "p_own_mult",
+        "markers_hi", "markers_lo",
+        "n_seeds", "n_markers",
+        "contig_lengths", "n_contigs", "total_len",
+    ],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class DeviceSketch:
+    """Padded dense-array sketch of one genome (device resident).
+
+    Functional equivalent of ``skani::types::Sketch`` (fields observed at
+    reference lib.rs:147-161) re-laid-out for static-shape TPU compute.
+    """
+
+    # seed table, sorted by (kmer, contig, position); padding = sentinels
+    kmers: jax.Array        # uint32 [S]
+    positions: jax.Array    # int32 [S] (end index of k-mer within contig)
+    contig_ids: jax.Array   # int32 [S]
+    strands: jax.Array      # bool  [S] (canonical == forward)
+    own_mult: jax.Array     # int32 [S] (occurrences of this k-mer here)
+    # position-sorted view of the same table
+    p_positions: jax.Array  # int32 [S]
+    p_contig_ids: jax.Array # int32 [S]
+    p_own_mult: jax.Array   # int32 [S]
+    # marker sketch (sorted unique 42-bit canonical k-mers as u32 pairs)
+    markers_hi: jax.Array   # uint32 [M]
+    markers_lo: jax.Array   # uint32 [M]
+    n_seeds: jax.Array      # int32 []
+    n_markers: jax.Array    # int32 []
+    contig_lengths: jax.Array  # int32 [C]
+    n_contigs: jax.Array    # int32 []
+    total_len: jax.Array    # int32 []
+
+    @property
+    def seed_budget(self) -> int:
+        return self.kmers.shape[0]
+
+    @property
+    def marker_budget(self) -> int:
+        return self.markers_hi.shape[0]
+
+
+def _rolling_u32(codes: jax.Array, k: int, reverse: bool) -> jax.Array:
+    """k-mer (2k <= 32 bits) ending at each position, as uint32."""
+    c = codes.astype(jnp.uint32)
+    out = jnp.zeros_like(c)
+    for j in range(k):
+        # base j of the window [i-k+1, i] is codes[i-(k-1)+j]
+        term = jnp.roll(c, k - 1 - j)
+        if reverse:
+            out = out | ((jnp.uint32(3) - term) << jnp.uint32(2 * j))
+        else:
+            out = out | (term << jnp.uint32(2 * (k - 1 - j)))
+    return out
+
+
+def _rolling_u64(codes: jax.Array, k: int, reverse: bool) -> u64.U64:
+    """k-mer (2k > 32 bits) ending at each position, as u32-pair."""
+    c = codes.astype(jnp.uint32)
+    out = u64.from_u32(jnp.zeros_like(c))
+    for j in range(k):
+        term = jnp.roll(c, k - 1 - j)
+        if reverse:
+            term = jnp.uint32(3) - term
+            out = u64.or_(out, u64.shl(u64.from_u32(term), 2 * j))
+        else:
+            out = u64.or_(out, u64.shl(u64.from_u32(term), 2 * (k - 1 - j)))
+    return out
+
+
+def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
+             sentinels: Sequence) -> tuple:
+    """Gather ``arrays`` at positions where ``mask`` is set, padded to
+    ``budget`` with per-array sentinels.  Returns (count, gathered...)."""
+    (idx,) = jnp.nonzero(mask, size=budget, fill_value=0)
+    count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), budget)
+    valid = jnp.arange(budget, dtype=jnp.int32) < count
+    out = []
+    for arr, sent in zip(arrays, sentinels):
+        g = arr[idx]
+        out.append(jnp.where(valid, g, jnp.asarray(sent, g.dtype)))
+    return (count, *out)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "marker_k", "c", "marker_c",
+                                             "seed_budget", "marker_budget"))
+def sketch_kernel(
+    codes: jax.Array,          # uint8 [L] concatenated contigs (zero padded)
+    pos_in_contig: jax.Array,  # int32 [L] position within contig (end coords)
+    contig_id: jax.Array,      # int32 [L] contig id per position (-1 padding)
+    *,
+    k: int, marker_k: int, c: int, marker_c: int,
+    seed_budget: int, marker_budget: int,
+):
+    """All-positions FracMinHash scan + compaction for one genome."""
+    thr = u64.from_int((2**64 - 1) // c)
+    mthr = u64.from_int((2**64 - 1) // marker_c)
+
+    fwd = _rolling_u32(codes, k, reverse=False)
+    rev = _rolling_u32(codes, k, reverse=True)
+    strand = fwd < rev
+    canon = jnp.where(strand, fwd, rev)
+    h = u64.mm_hash64(u64.from_u32(canon))
+    valid_seed = (contig_id >= 0) & (pos_in_contig >= k - 1)
+    seed_mask = valid_seed & u64.lt(h, thr)
+
+    mfwd = _rolling_u64(codes, marker_k, reverse=False)
+    mrev = _rolling_u64(codes, marker_k, reverse=True)
+    m_is_fwd = u64.lt(mfwd, mrev)
+    mcanon = u64.U64(jnp.where(m_is_fwd, mfwd.hi, mrev.hi),
+                     jnp.where(m_is_fwd, mfwd.lo, mrev.lo))
+    mh = u64.mm_hash64(mcanon)
+    valid_marker = (contig_id >= 0) & (pos_in_contig >= marker_k - 1)
+    marker_mask = valid_marker & u64.lt(mh, mthr)
+
+    # ---- compact seeds and sort by (kmer, contig, pos) ----
+    n_seeds, s_kmer, s_pos, s_cid, s_strand = _compact(
+        seed_mask, seed_budget,
+        (canon, pos_in_contig, contig_id, strand),
+        (U32_SENTINEL, I32_SENTINEL, I32_SENTINEL, False),
+    )
+    s_kmer, s_cid, s_pos, s_strand = jax.lax.sort(
+        (s_kmer, s_cid, s_pos, s_strand), num_keys=3)
+    left = jnp.searchsorted(s_kmer, s_kmer, side="left")
+    right = jnp.searchsorted(s_kmer, s_kmer, side="right")
+    own_mult = (right - left).astype(jnp.int32)
+
+    p_cid, p_pos, p_own = jax.lax.sort((s_cid, s_pos, own_mult), num_keys=2)
+
+    # ---- compact markers, dedupe ----
+    _, m_hi, m_lo = _compact(
+        marker_mask, marker_budget,
+        (mcanon.hi, mcanon.lo),
+        (U32_SENTINEL, U32_SENTINEL),
+    )
+    m_hi, m_lo = jax.lax.sort((m_hi, m_lo), num_keys=2)
+    prev_same = jnp.concatenate([
+        jnp.zeros(1, bool),
+        (m_hi[1:] == m_hi[:-1]) & (m_lo[1:] == m_lo[:-1]),
+    ])
+    is_sentinel = (m_hi == U32_SENTINEL) & (m_lo == U32_SENTINEL)
+    first = (~prev_same) & (~is_sentinel)
+    n_markers, mu_hi, mu_lo = _compact(
+        first, marker_budget, (m_hi, m_lo), (U32_SENTINEL, U32_SENTINEL))
+
+    return dict(
+        n_seeds=n_seeds, kmers=s_kmer, positions=s_pos, contig_ids=s_cid,
+        strands=s_strand, own_mult=own_mult,
+        p_positions=p_pos, p_contig_ids=p_cid, p_own_mult=p_own,
+        n_markers=n_markers, markers_hi=mu_hi, markers_lo=mu_lo,
+    )
+
+
+def round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def seed_budget_for(total_len: int, c: int) -> int:
+    """Default seed-table budget: mean + generous slack, lane aligned."""
+    expect = max(total_len // c, 256)
+    return round_up(int(expect * 1.25) + 1024, 1024)
+
+
+def marker_budget_for(total_len: int, marker_c: int) -> int:
+    expect = max(total_len // marker_c, 64)
+    return round_up(int(expect * 1.35) + 512, 512)
+
+
+def sketch_genome_device(
+    name: str,
+    contigs: Sequence[bytes],
+    params: SketchParams,
+    seed_budget: int | None = None,
+    marker_budget: int | None = None,
+    length_bucket: int = 1 << 20,
+    max_contigs: int = 256,
+) -> "HostSketch":
+    """Host wrapper: encode contigs, pad, run the device kernel.
+
+    Mirrors Database::_sketch (reference lib.rs:140-185): contigs shorter
+    than MIN_LENGTH_CONTIG are skipped entirely.
+    """
+    kept = [c for c in contigs if len(c) >= MIN_LENGTH_CONTIG]
+    contig_names = [f"{name}_{i}" for i, c in enumerate(contigs)
+                    if len(c) >= MIN_LENGTH_CONTIG]
+    lengths = [len(c) for c in kept]
+    total = sum(lengths)
+    L = max(round_up(max(total, 1), length_bucket), length_bucket)
+
+    codes = np.zeros(L, dtype=np.uint8)
+    pos_in_contig = np.full(L, -1, dtype=np.int32)
+    contig_id = np.full(L, -1, dtype=np.int32)
+    off = 0
+    for i, contig in enumerate(kept):
+        n = len(contig)
+        codes[off:off + n] = BYTE_TO_SEQ[np.frombuffer(contig, dtype=np.uint8)]
+        pos_in_contig[off:off + n] = np.arange(n, dtype=np.int32)
+        contig_id[off:off + n] = i
+        off += n
+
+    sb = seed_budget or seed_budget_for(total, params.c)
+    mb = marker_budget or marker_budget_for(total, params.marker_c)
+    out = sketch_kernel(
+        jnp.asarray(codes), jnp.asarray(pos_in_contig), jnp.asarray(contig_id),
+        k=params.k, marker_k=params.marker_k, c=params.c,
+        marker_c=params.marker_c, seed_budget=sb, marker_budget=mb)
+
+    clens = np.zeros(max_contigs, dtype=np.int32)
+    clens[:len(lengths)] = lengths
+    dev = DeviceSketch(
+        kmers=out["kmers"], positions=out["positions"],
+        contig_ids=out["contig_ids"], strands=out["strands"],
+        own_mult=out["own_mult"],
+        p_positions=out["p_positions"], p_contig_ids=out["p_contig_ids"],
+        p_own_mult=out["p_own_mult"],
+        markers_hi=out["markers_hi"], markers_lo=out["markers_lo"],
+        n_seeds=out["n_seeds"], n_markers=out["n_markers"],
+        contig_lengths=jnp.asarray(clens),
+        n_contigs=jnp.int32(len(lengths)),
+        total_len=jnp.int32(total),
+    )
+    return HostSketch(name=name, contig_names=contig_names, device=dev)
+
+
+@dataclasses.dataclass
+class HostSketch:
+    """A named genome sketch: host metadata + device arrays.
+
+    Counterpart of the reference's ``Sketch`` pyclass
+    (/root/reference/src/pyskani/_skani/sketch.rs:4-38).
+    """
+
+    name: str
+    contig_names: List[str]
+    device: DeviceSketch
+
+    @property
+    def c(self) -> int:  # parity with Sketch.c getter (sketch.rs:22-25)
+        return -1  # overridden by Database wrapper; kept for API shape

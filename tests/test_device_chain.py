@@ -1,0 +1,83 @@
+"""Device chaining pipeline vs the NumPy oracle."""
+
+import numpy as np
+import pytest
+
+from pyskani_tpu.oracle import seeding as oseed
+from pyskani_tpu.oracle.chain import ChainConfig, chain_seeds
+from pyskani_tpu.ops.chain import EngineBudgets, chain_pair
+from pyskani_tpu.ops.sketch import sketch_genome_device
+from pyskani_tpu.params import SketchParams
+
+from conftest import mutate, random_genome
+
+CFG = ChainConfig()
+BUDGETS = EngineBudgets(max_anchors=16384, max_fragments=64,
+                        max_anchors_per_fragment=512)
+
+
+def _oracle_all(ref_contigs, query_contigs):
+    params = SketchParams()
+    r = oseed.sketch_genome("ref", ref_contigs, params)
+    q = oseed.sketch_genome("query", query_contigs, params)
+    out = chain_seeds(r, q, CFG)
+    fa = out.fragment_anis
+    res = {"af_query": out.align_fraction_query, "af_ref": out.align_fraction_ref}
+    if fa is None or not len(fa):
+        res.update(ani_mean=0.0, ani_robust=0.0, ani_median=0.0)
+        return res
+    lo, hi = np.quantile(fa, [0.1, 0.9])
+    sel = (fa >= lo) & (fa <= hi)
+    res["ani_mean"] = fa.mean()
+    res["ani_robust"] = fa[sel].mean() if sel.any() else fa.mean()
+    res["ani_median"] = np.median(fa)
+    return res
+
+
+def _device_all(ref_contigs, query_contigs, budgets=BUDGETS):
+    params = SketchParams()
+    r = sketch_genome_device("ref", ref_contigs, params, length_bucket=1 << 17)
+    q = sketch_genome_device("query", query_contigs, params, length_bucket=1 << 17)
+    out = chain_pair(r.device, q.device, cfg=CFG, budgets=budgets)
+    return {k: float(v) for k, v in out.items()}
+
+
+def _compare(ref_contigs, query_contigs, tol=5e-6):
+    o = _oracle_all(ref_contigs, query_contigs)
+    d = _device_all(ref_contigs, query_contigs)
+    for key in ("ani_mean", "ani_robust", "ani_median", "af_query", "af_ref"):
+        assert abs(o[key] - d[key]) <= tol, (key, o[key], d[key])
+
+
+def test_mutated_pair():
+    rng = np.random.default_rng(7)
+    g = random_genome(rng, 120_000)
+    m = mutate(rng, g, sub_rate=0.01, indel_rate=0.0005)
+    _compare([g], [m])
+
+
+def test_higher_divergence():
+    rng = np.random.default_rng(8)
+    g = random_genome(rng, 100_000)
+    m = mutate(rng, g, sub_rate=0.05, indel_rate=0.002)
+    _compare([g], [m])
+
+
+def test_multi_contig_query():
+    rng = np.random.default_rng(9)
+    g = random_genome(rng, 90_000)
+    m = mutate(rng, g, sub_rate=0.02, indel_rate=0.001)
+    # split the mutated genome into contigs; also reverse-complement one
+    rc = m[30000:60000][::-1].translate(bytes.maketrans(b"ACGT", b"TGCA"))
+    contigs = [m[:30000], rc, m[60000:]]
+    _compare([g], contigs)
+
+
+def test_unrelated_pair():
+    rng = np.random.default_rng(10)
+    a = random_genome(rng, 60_000)
+    b = random_genome(rng, 60_000)
+    o = _oracle_all([a], [b])
+    d = _device_all([a], [b])
+    assert d["ani_mean"] == pytest.approx(o["ani_mean"], abs=1e-5)
+    assert d["af_query"] == pytest.approx(o["af_query"], abs=1e-6)

@@ -1,0 +1,59 @@
+"""Device sketching vs the NumPy oracle: exact equality of seed tables."""
+
+import numpy as np
+import pytest
+
+from pyskani_tpu.oracle import seeding as oracle
+from pyskani_tpu.ops.sketch import sketch_genome_device
+from pyskani_tpu.params import SketchParams
+
+from conftest import random_genome
+
+
+def _check(contigs, params=SketchParams()):
+    name = "g"
+    osk = oracle.sketch_genome(name, contigs, params)
+    dsk = sketch_genome_device(name, contigs, params).device
+
+    n = int(dsk.n_seeds)
+    assert n == len(osk.kmers), (n, len(osk.kmers))
+    np.testing.assert_array_equal(np.asarray(dsk.kmers[:n], np.uint64),
+                                  osk.kmers & np.uint64(0xFFFFFFFF))
+    np.testing.assert_array_equal(np.asarray(dsk.positions[:n]), osk.positions)
+    np.testing.assert_array_equal(np.asarray(dsk.contig_ids[:n]), osk.contig_ids)
+    np.testing.assert_array_equal(np.asarray(dsk.strands[:n]), osk.strands)
+
+    m = int(dsk.n_markers)
+    assert m == len(osk.markers), (m, len(osk.markers))
+    got = (np.asarray(dsk.markers_hi[:m], np.uint64) << np.uint64(32)) | \
+        np.asarray(dsk.markers_lo[:m], np.uint64)
+    np.testing.assert_array_equal(got, osk.markers)
+
+    assert int(dsk.total_len) == osk.total_sequence_length
+    assert int(dsk.n_contigs) == len(osk.contigs)
+
+
+def test_single_contig_random():
+    rng = np.random.default_rng(0)
+    _check([random_genome(rng, 50_000)])
+
+
+def test_multi_contig():
+    rng = np.random.default_rng(1)
+    contigs = [random_genome(rng, 20_000), random_genome(rng, 7_000),
+               b"ACGT" * 10,  # below MIN_LENGTH_CONTIG -> skipped
+               random_genome(rng, 3_000)]
+    _check(contigs)
+
+
+def test_lowercase_and_n():
+    rng = np.random.default_rng(2)
+    g = bytearray(random_genome(rng, 30_000))
+    g[100:200] = b"n" * 100
+    g[5000:5100] = random_genome(rng, 100).lower()
+    _check([bytes(g)])
+
+
+@pytest.mark.slow
+def test_ecoli(ecoli_k12):
+    _check([ecoli_k12])
