@@ -1,0 +1,298 @@
+"""Database: the pyskani-compatible user API over the TPU engine.
+
+API-parity port of the reference ``Database`` pyclass
+(/root/reference/src/pyskani/_skani/lib.rs:132-741): same constructor
+signature and defaults (lib.rs:369), same classmethods (open/load), same
+sketch/query/save/flush methods, storage formats, exception types and
+context-manager semantics.  The compute underneath is the TPU-native
+engine (device sketching, batched marker screening, jitted chain
+pipeline) instead of a per-pair Rust loop.
+"""
+
+from __future__ import annotations
+
+import os
+import pathlib
+from typing import List, Optional, Sequence, Union
+
+import numpy as np
+
+from . import regression
+from .hit import Hit
+from .oracle.chain import ChainConfig
+from .db import storage as dbstorage
+from .db.storage import (ConsolidatedStorage, FolderStorage, MarkerSketch,
+                         MemoryStorage, load_index, load_markers)
+from .ops.chain import EngineBudgets, chain_pair
+from .ops.screen import screen_batch
+from .ops.sketch import HostSketch, round_up, sketch_genome_device
+from .params import (MIN_ANI_KEEP, D_FRAC_COVER_CUTOFF,
+                     SEARCH_ANI_CUTOFF_DEFAULT, SketchParams)
+
+_Sequence = Union[str, bytes, bytearray, memoryview]
+
+
+def _as_bytes(contig: _Sequence) -> bytes:
+    """Accept str/bytes/bytearray/memoryview/buffer (reference utils.rs
+    Text semantics, utils.rs:74-102)."""
+    if isinstance(contig, str):
+        return contig.encode("utf-8")
+    if isinstance(contig, (bytes, bytearray)):
+        return bytes(contig)
+    return bytes(memoryview(contig))
+
+
+class Sketch:
+    """A sketched genome (parity with the reference Sketch pyclass,
+    sketch.rs:4-38: name/c/amino_acid getters, no public constructor)."""
+
+    def __init__(self, host_sketch: HostSketch, c: int, amino_acid: bool = False):
+        self._host = host_sketch
+        self._c = c
+        self._amino_acid = amino_acid
+
+    @property
+    def name(self) -> str:
+        return self._host.name
+
+    @property
+    def c(self) -> int:
+        return self._c
+
+    @property
+    def amino_acid(self) -> bool:
+        return self._amino_acid
+
+
+class Database:
+    """A database storing sketched genomes.
+
+    The database contains two different sketch collections with different
+    compression levels: marker sketches, which are heavily compressed and
+    always kept in memory, and genome sketches, which take more memory but
+    may be stored inside an external file.  (Reference docstring,
+    lib.rs:125-131.)
+    """
+
+    def __init__(self, path=None, *, compression: int = 125,
+                 marker_compression: int = 1000, k: int = 15,
+                 format: Optional[str] = None):
+        self._params = SketchParams(c=compression,
+                                    marker_c=marker_compression, k=k)
+        self._markers: List[MarkerSketch] = []
+        self._chain_cfg = ChainConfig()
+        self._screen_cache = None
+        if path is None:
+            self._storage = MemoryStorage()
+        else:
+            folder = pathlib.Path(os.fsdecode(path))
+            if not folder.exists():
+                try:
+                    folder.mkdir(parents=True)
+                except OSError as err:
+                    raise OSError(err.errno,
+                                  f"Failed to create {folder}") from None
+            if (folder / "markers.bin").exists():
+                raise FileExistsError(str(folder / "markers.bin"))
+            fmt = format if format is not None else "consolidated"
+            if fmt == "consolidated":
+                self._storage = ConsolidatedStorage(folder)
+            elif fmt == "separated":
+                self._storage = FolderStorage(folder)
+            else:
+                raise ValueError(f"invalid format: {fmt}")
+
+    # -- classmethods -----------------------------------------------------
+
+    @classmethod
+    def open(cls, path) -> "Database":
+        """Open a database folder, loading only markers into memory
+        (lazy sketch loads; reference lib.rs:277-337)."""
+        folder = pathlib.Path(os.fsdecode(path))
+        markers_path = folder / "markers.bin"
+        if not markers_path.exists():
+            raise OSError(2, f"Failed to open {markers_path}")
+        params, markers = load_markers(markers_path)
+        self = cls.__new__(cls)
+        self._params = params
+        self._markers = markers
+        self._chain_cfg = ChainConfig()
+        self._screen_cache = None
+        if (folder / "index.db").exists() and (folder / "sketches.db").exists():
+            self._storage = ConsolidatedStorage(folder, load_index(folder))
+        else:
+            self._storage = FolderStorage(folder)
+        return self
+
+    @classmethod
+    def load(cls, path) -> "Database":
+        """Open a database folder and eagerly load every sketch in memory
+        (fast queries, more RAM; reference lib.rs:232-275)."""
+        self = cls.open(path)
+        mem = MemoryStorage()
+        for marker in self._markers:
+            name = os.path.basename(marker.name)
+            mem.store(self._storage.load(name), self._params)
+        self._storage = mem
+        return self
+
+    # -- properties -------------------------------------------------------
+
+    @property
+    def path(self) -> Optional[pathlib.Path]:
+        return getattr(self._storage, "path", None)
+
+    @property
+    def compression(self) -> int:
+        return self._params.c
+
+    @property
+    def marker_compression(self) -> int:
+        return self._params.marker_c
+
+    # -- context manager --------------------------------------------------
+
+    def __enter__(self) -> "Database":
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback) -> bool:
+        self.flush()
+        return False
+
+    # -- core methods -----------------------------------------------------
+
+    def sketch(self, name: str, *contigs: _Sequence, seed: bool = True) -> None:
+        """Add a reference genome to the database (reference
+        lib.rs:466-510)."""
+        data = [_as_bytes(c) for c in contigs]
+        host = sketch_genome_device(name, data, self._params)
+        dev = host.device
+        m = int(dev.n_markers)
+        self._markers.append(MarkerSketch(
+            name=name, total_len=host.total_len,
+            contig_names=host.contig_names,
+            contig_lengths=list(host.lengths),
+            hi=np.asarray(dev.markers_hi[:m]),
+            lo=np.asarray(dev.markers_lo[:m])))
+        self._screen_cache = None
+        self._storage.store(host, self._params)
+
+    def _marker_matrix(self):
+        """Stacked, padded marker matrix for batched device screening."""
+        if self._screen_cache is None:
+            n = len(self._markers)
+            M = round_up(max((len(m.hi) for m in self._markers), default=1),
+                         512)
+            hi = np.full((n, M), 0xFFFFFFFF, np.uint32)
+            lo = np.full((n, M), 0xFFFFFFFF, np.uint32)
+            counts = np.zeros(n, np.int32)
+            for i, m in enumerate(self._markers):
+                hi[i, :len(m.hi)] = m.hi
+                lo[i, :len(m.lo)] = m.lo
+                counts[i] = len(m.hi)
+            self._screen_cache = (hi, lo, counts)
+        return self._screen_cache
+
+    def _budgets_for(self, query: HostSketch, ref: HostSketch) -> EngineBudgets:
+        fl = self._chain_cfg.fragment_length
+        nf = round_up(query.n_fragments(fl) + 2, 64)
+        qa = query.device.seed_budget
+        return EngineBudgets(
+            max_anchors=round_up(int(qa * 1.5) + 4096, 8192),
+            max_fragments=nf,
+            max_anchors_per_fragment=512,
+        )
+
+    def query(self, name: str, *contigs: _Sequence, seed: bool = True,
+              learned_ani: Optional[bool] = None, median: bool = False,
+              robust: bool = False, cutoff: Optional[float] = None,
+              faster_small: bool = False) -> List[Hit]:
+        """Query the database with a genome (reference lib.rs:512-660)."""
+        data = [_as_bytes(c) for c in contigs]
+        query = sketch_genome_device(name, data, self._params)
+
+        screen_val = cutoff if cutoff is not None else SEARCH_ANI_CUTOFF_DEFAULT
+        learned = learned_ani if learned_ani is not None else \
+            regression.use_learned_ani(self._params.c, False, False, median)
+        model = regression.get_model(self._params.c, learned)
+
+        hits: List[Hit] = []
+        if not self._markers:
+            return hits
+
+        # phase 1 — batched marker screen (one op, all references)
+        hi, lo, counts = self._marker_matrix()
+        qdev = query.device
+        passes, _ = screen_batch(
+            qdev.markers_hi, qdev.markers_lo, qdev.n_markers,
+            hi, lo, counts, screen_val,
+            marker_k=self._params.marker_k, rescue_small=not faster_small)
+        passes = np.asarray(passes)
+        shortlist = sorted({os.path.basename(self._markers[i].name)
+                            for i in np.nonzero(passes)[0]})
+
+        # phase 2 — chain pipeline per shortlisted reference
+        maf = D_FRAC_COVER_CUTOFF
+        for ref_name in shortlist:
+            ref = self._storage.load(ref_name)
+            budgets = self._budgets_for(query, ref)
+            out = chain_pair(ref.device, qdev, cfg=self._chain_cfg,
+                             budgets=budgets)
+            if median:
+                ani = float(out["ani_median"])
+            elif robust:
+                ani = float(out["ani_robust"])
+            else:
+                ani = float(out["ani_mean"])
+            af_q = float(out["af_query"])
+            af_r = float(out["af_ref"])
+            if model is not None and not median:
+                ani = regression.apply_model(model, ani, af_q, af_r)
+            # min_aligned_frac gate (CommandParams.min_aligned_frac = 0.15,
+            # lib.rs:589-590); both_min_aligned_frac is disabled (-0.01)
+            if af_q < maf and af_r < maf:
+                continue
+            if ani > MIN_ANI_KEEP:
+                hits.append(Hit(min(max(ani, 0.0), 1.0), name, af_q,
+                                ref_name, af_r))
+        return hits
+
+    # -- persistence ------------------------------------------------------
+
+    def save(self, path, overwrite: bool = False,
+             format: Optional[str] = None) -> None:
+        """Save the database to the given path.
+
+        Note: unlike the reference (which inverts the format names in
+        ``save`` relative to ``__init__`` — lib.rs:696-699 vs 400-411),
+        this implementation follows the *documented* semantics:
+        ``consolidated`` writes sketches.db/index.db, ``separated`` writes
+        one file per sketch.
+        """
+        folder = pathlib.Path(os.fsdecode(path))
+        if not folder.exists():
+            try:
+                folder.mkdir(parents=True)
+            except OSError as err:
+                raise OSError(err.errno,
+                              f"Failed to create {folder}") from None
+        markers_path = folder / "markers.bin"
+        if not overwrite and markers_path.exists():
+            raise FileExistsError(str(markers_path))
+        fmt = format if format is not None else "consolidated"
+        if fmt == "consolidated":
+            out = ConsolidatedStorage(folder)
+        elif fmt == "separated":
+            out = FolderStorage(folder)
+        else:
+            raise ValueError(f"invalid format: {fmt}")
+        for marker in self._markers:
+            name = os.path.basename(marker.name)
+            out.store(self._storage.load(name), self._params)
+        out.flush(self._params, self._markers)
+
+    def flush(self) -> None:
+        """Flush the database buffers to disk (markers.bin for folder
+        storage, plus index.db for consolidated; reference
+        lib.rs:728-741)."""
+        self._storage.flush(self._params, self._markers)

@@ -264,7 +264,8 @@ def sketch_genome_device(
         n_contigs=jnp.int32(len(lengths)),
         total_len=jnp.int32(total),
     )
-    return HostSketch(name=name, contig_names=contig_names, device=dev)
+    return HostSketch(name=name, contig_names=contig_names, device=dev,
+                      lengths=lengths)
 
 
 @dataclasses.dataclass
@@ -278,7 +279,11 @@ class HostSketch:
     name: str
     contig_names: List[str]
     device: DeviceSketch
+    lengths: List[int] = dataclasses.field(default_factory=list)
 
     @property
-    def c(self) -> int:  # parity with Sketch.c getter (sketch.rs:22-25)
-        return -1  # overridden by Database wrapper; kept for API shape
+    def total_len(self) -> int:
+        return sum(self.lengths)
+
+    def n_fragments(self, fl: int) -> int:
+        return sum(max(1, -(-length // fl)) for length in self.lengths)

@@ -1,0 +1,120 @@
+"""Learned-ANI regression (GBDT) — inference machinery.
+
+The reference enables a gradient-boosted-decision-tree correction model
+trained on MAGs when ``c >= 70`` and not in median mode (reference:
+skani::regression::use_learned_ani / get_model, called at
+/root/reference/src/pyskani/_skani/lib.rs:611-614; rule documented at
+lib.rs:524-528).
+
+This module implements GBDT inference as dense tensor ops (trees flattened
+to node arrays, evaluated by vectorised level-order descent — TPU/jit
+friendly).  The reference's trained model weights live inside the skani
+crate (not vendored here, and this environment has no network access), so
+``get_model`` returns None unless a weight file has been dropped at
+``pyskani_tpu/data/gbdt_model.json``; without a model, learned-ANI mode
+falls back to the raw estimate (a documented deviation — see README).
+
+Weight file schema (gbdt-rs compatible subset)::
+
+    {"trees": [{"feature": [...], "threshold": [...], "left": [...],
+                "right": [...], "value": [...]}, ...],
+     "base": 0.0, "features": ["ani", "af_query", "af_ref", ...]}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import warnings
+from typing import List, Optional
+
+import numpy as np
+
+from .params import use_learned_ani  # re-export (reference lib.rs:611-613)
+
+__all__ = ["use_learned_ani", "get_model", "GbdtModel"]
+
+_MODEL_PATH = os.path.join(os.path.dirname(__file__), "data",
+                           "gbdt_model.json")
+_warned = False
+
+
+@dataclasses.dataclass
+class GbdtModel:
+    """Flattened GBDT ensemble for vectorised inference."""
+
+    feature: np.ndarray    # int32  [T, N] feature index per node (-1 = leaf)
+    threshold: np.ndarray  # float32[T, N]
+    left: np.ndarray       # int32  [T, N] child node ids
+    right: np.ndarray      # int32  [T, N]
+    value: np.ndarray      # float32[T, N] leaf values
+    base: float
+    features: List[str]
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        """x: [B, F] feature rows -> [B] corrected predictions."""
+        B = x.shape[0]
+        T, N = self.feature.shape
+        out = np.full(B, self.base, dtype=np.float64)
+        depth = int(np.ceil(np.log2(N + 1))) + 1
+        for t in range(T):
+            node = np.zeros(B, dtype=np.int64)
+            for _ in range(depth):
+                f = self.feature[t, node]
+                leaf = f < 0
+                fv = x[np.arange(B), np.maximum(f, 0)]
+                go_left = fv <= self.threshold[t, node]
+                nxt = np.where(go_left, self.left[t, node],
+                               self.right[t, node])
+                node = np.where(leaf, node, nxt)
+            out += self.value[t, node]
+        return out
+
+
+def load_model_file(path: str) -> GbdtModel:
+    with open(path) as f:
+        raw = json.load(f)
+    trees = raw["trees"]
+    n = max(len(t["feature"]) for t in trees)
+
+    def padded(key, fill, dtype):
+        arr = np.full((len(trees), n), fill, dtype=dtype)
+        for i, t in enumerate(trees):
+            arr[i, :len(t[key])] = t[key]
+        return arr
+
+    return GbdtModel(
+        feature=padded("feature", -1, np.int32),
+        threshold=padded("threshold", 0.0, np.float32),
+        left=padded("left", 0, np.int32),
+        right=padded("right", 0, np.int32),
+        value=padded("value", 0.0, np.float32),
+        base=float(raw.get("base", 0.0)),
+        features=list(raw.get("features", [])),
+    )
+
+
+def get_model(c: int, learned: bool) -> Optional[GbdtModel]:
+    """Reference: skani::regression::get_model (lib.rs:614)."""
+    global _warned
+    if not learned:
+        return None
+    if os.path.exists(_MODEL_PATH):
+        return load_model_file(_MODEL_PATH)
+    if not _warned:
+        warnings.warn(
+            "learned-ANI model weights are not bundled (network-isolated "
+            "build); falling back to the raw ANI estimate. Drop a weight "
+            f"file at {_MODEL_PATH} to enable the correction.",
+            RuntimeWarning, stacklevel=2)
+        _warned = True
+    return None
+
+
+def apply_model(model: Optional[GbdtModel], ani: float, af_q: float,
+                af_r: float) -> float:
+    if model is None:
+        return ani
+    x = np.array([[ani, af_q, af_r]], dtype=np.float64)
+    return float(model.predict(x)[0])
