@@ -1,0 +1,119 @@
+"""Benchmark: all-vs-all ANI throughput on one TPU chip.
+
+Workload (BASELINE.md config 3): sketch N synthetic bacterial-scale
+genomes (~2.3 Mbp, ~99% pairwise ANI family), then run the batched
+all-vs-all triangle — N*(N-1)/2 pairs — through the jitted pair pipeline.
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": pairs/s, "unit": "pairs/s", "vs_baseline": x}
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
+the skani Nature Methods paper reports roughly ~25x FastANI with ~ms-scale
+per-pair comparisons — we use 30 genome-pairs/s as the documented
+single-core skani estimate for genomes of this size (see BENCH_NOTES.md
+for the derivation), matching BASELINE.md's ">10x single-core skani"
+target framing.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+SINGLE_CORE_SKANI_PAIRS_PER_S = 30.0  # documented estimate (BENCH_NOTES.md)
+
+N_GENOMES = int(os.environ.get("BENCH_GENOMES", "32"))
+GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", str(2_300_000)))
+CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+
+
+def make_genomes(n, length, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=length)
+    out = []
+    for _ in range(n):
+        arr = base.copy()
+        idx = rng.integers(0, length, length // 100)  # ~1% substitutions
+        arr[idx] = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                              size=len(idx))
+        out.append(arr.tobytes())
+    return out
+
+
+def main():
+    import jax
+
+    from pyskani_tpu.engine.batch import pairs_ani, stack_sketches
+    from pyskani_tpu.oracle.chain import ChainConfig
+    from pyskani_tpu.ops.chain import EngineBudgets
+    from pyskani_tpu.ops.sketch import round_up, sketch_genome_device
+    from pyskani_tpu.params import SketchParams
+
+    dev = jax.devices()[0]
+    params = SketchParams()
+    genomes = make_genomes(N_GENOMES, GENOME_LEN)
+
+    # --- sketching (throughput measured after warmup compile) ---
+    t0 = time.time()
+    sketches = [sketch_genome_device(f"g{i}", [g], params)
+                for i, g in enumerate(genomes)]
+    jax.block_until_ready(sketches[-1].device.kmers)
+    t_sketch_all = time.time() - t0
+    # re-sketch a few without compile cost for the steady-state rate
+    t0 = time.time()
+    for g in genomes[:4]:
+        s = sketch_genome_device("w", [g], params)
+    jax.block_until_ready(s.device.kmers)
+    sketch_mbps = 4 * GENOME_LEN / (time.time() - t0) / 1e6
+
+    # --- all-vs-all triangle ---
+    cfg = ChainConfig()
+    batch = stack_sketches(sketches)
+    nf = round_up(max(s.n_fragments(cfg.fragment_length)
+                      for s in sketches) + 2, 64)
+    budgets = EngineBudgets(
+        max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
+        max_fragments=nf,
+        max_anchors_per_fragment=512)
+    ri, qi = np.triu_indices(N_GENOMES, k=1)
+    ri = np.ascontiguousarray(ri)
+    qi = np.ascontiguousarray(qi)
+    n_pairs = len(ri)
+
+    def run():
+        out = pairs_ani(batch, ri, qi, cfg=cfg, budgets=budgets, chunk=CHUNK)
+        jax.block_until_ready(out)
+        return out
+
+    t0 = time.time()
+    out = run()  # compile + first run
+    t_first = time.time() - t0
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+    t_steady = (time.time() - t0) / reps
+    pairs_per_s = n_pairs / t_steady
+
+    mean_ani = float(np.mean(np.asarray(out["ani_mean"])))
+    sys.stderr.write(
+        f"device={dev} genomes={N_GENOMES}x{GENOME_LEN/1e6:.1f}Mbp "
+        f"pairs={n_pairs} first={t_first:.1f}s steady={t_steady:.2f}s "
+        f"sketch={sketch_mbps:.1f}Mbp/s sketch_all={t_sketch_all:.1f}s "
+        f"mean_ani={mean_ani:.4f}\n")
+
+    print(json.dumps({
+        "metric": "genome-pairs/s per chip (all-vs-all ANI, 32x2.3Mbp)",
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / SINGLE_CORE_SKANI_PAIRS_PER_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Batched pair engine: many-to-many ANI over stacked sketch tensors.
+
+The reference computes one pair at a time in a serial loop
+(/root/reference/src/pyskani/_skani/lib.rs:639-657).  On TPU the unit of
+work is a *batch of pairs*: sketches are stacked (leading axis) into one
+pytree, and the pair pipeline is vmapped so the VPU processes every pair's
+fragments in lockstep.  Memory is bounded by mapping over ref-chunks with
+an inner vmap (lax.map), so arbitrarily large triangles stream through a
+fixed working set.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..oracle.chain import ChainConfig
+from ..ops.chain import EngineBudgets, chain_pair
+from ..ops.sketch import DeviceSketch, HostSketch, round_up
+
+
+def repad_sketch(host: HostSketch, seed_budget: int, marker_budget: int,
+                 max_contigs: int = 256) -> DeviceSketch:
+    """Re-pad a sketch's arrays to common budgets (host-side numpy)."""
+    dev = host.device
+    n = int(dev.n_seeds)
+    m = int(dev.n_markers)
+    if n > seed_budget or m > marker_budget:
+        raise ValueError(f"sketch {host.name} exceeds budgets "
+                         f"({n}>{seed_budget} or {m}>{marker_budget})")
+
+    def pad(arr, size, fill):
+        a = np.asarray(arr)
+        out = np.full(size, fill, dtype=a.dtype)
+        k = min(len(a), size)
+        out[:k] = a[:k]
+        return out
+
+    return DeviceSketch(
+        kmers=jnp.asarray(pad(dev.kmers[:n], seed_budget, 0xFFFFFFFF)),
+        positions=jnp.asarray(pad(dev.positions[:n], seed_budget, 0x7FFFFFFF)),
+        contig_ids=jnp.asarray(pad(dev.contig_ids[:n], seed_budget, 0x7FFFFFFF)),
+        strands=jnp.asarray(pad(dev.strands[:n], seed_budget, False)),
+        own_mult=jnp.asarray(pad(dev.own_mult[:n], seed_budget, 0)),
+        p_positions=jnp.asarray(pad(dev.p_positions[:n], seed_budget, 0x7FFFFFFF)),
+        p_contig_ids=jnp.asarray(pad(dev.p_contig_ids[:n], seed_budget, 0x7FFFFFFF)),
+        p_own_mult=jnp.asarray(pad(dev.p_own_mult[:n], seed_budget, 0)),
+        markers_hi=jnp.asarray(pad(dev.markers_hi[:m], marker_budget, 0xFFFFFFFF)),
+        markers_lo=jnp.asarray(pad(dev.markers_lo[:m], marker_budget, 0xFFFFFFFF)),
+        n_seeds=dev.n_seeds, n_markers=dev.n_markers,
+        contig_lengths=jnp.asarray(pad(dev.contig_lengths,
+                                       max_contigs, 0)),
+        n_contigs=dev.n_contigs, total_len=dev.total_len,
+    )
+
+
+def stack_sketches(sketches: Sequence[HostSketch],
+                   seed_budget: int | None = None,
+                   marker_budget: int | None = None) -> DeviceSketch:
+    """Stack sketches into one batched DeviceSketch (leading axis N)."""
+    if seed_budget is None:
+        seed_budget = round_up(max(int(s.device.n_seeds) for s in sketches),
+                               1024)
+    if marker_budget is None:
+        marker_budget = round_up(
+            max(int(s.device.n_markers) for s in sketches), 512)
+    padded = [repad_sketch(s, seed_budget, marker_budget) for s in sketches]
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+
+
+def take_sketch(batch: DeviceSketch, idx) -> DeviceSketch:
+    """Select sketch(es) ``idx`` from a stacked batch (jit-safe gather)."""
+    return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), batch)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "budgets", "chunk"))
+def pairs_ani(batch: DeviceSketch, ref_idx: jax.Array, query_idx: jax.Array,
+              *, cfg: ChainConfig, budgets: EngineBudgets, chunk: int = 8):
+    """ANI/AF for an arbitrary list of (ref, query) index pairs.
+
+    Streams through the pair list in chunks of ``chunk`` vmapped pipelines
+    to bound peak memory.  Returns dict of [P] arrays.
+    """
+    def one(pair):
+        r = take_sketch(batch, pair[0])
+        q = take_sketch(batch, pair[1])
+        return chain_pair(r, q, cfg=cfg, budgets=budgets)
+
+    pairs = jnp.stack([ref_idx, query_idx], axis=1)
+    P = pairs.shape[0]
+    pad = (-P) % chunk
+    pairs = jnp.concatenate(
+        [pairs, jnp.zeros((pad, 2), pairs.dtype)]) if pad else pairs
+    chunked = pairs.reshape(-1, chunk, 2)
+    out = jax.lax.map(jax.vmap(one), chunked)
+    return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
+
+
+def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
+             budgets: EngineBudgets | None = None, chunk: int = 8):
+    """All-vs-all ANI over a genome set (reference `skani triangle` mode).
+
+    Returns (ref_idx, query_idx, results-dict of numpy arrays) over the
+    N(N-1)/2 unordered pairs.
+    """
+    cfg = cfg or ChainConfig()
+    n = len(sketches)
+    batch = stack_sketches(sketches)
+    if budgets is None:
+        fl = cfg.fragment_length
+        nf = round_up(max(s.n_fragments(fl) for s in sketches) + 2, 64)
+        budgets = EngineBudgets(
+            max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
+            max_fragments=nf,
+            max_anchors_per_fragment=512)
+    ri, qi = np.triu_indices(n, k=1)
+    out = pairs_ani(batch, jnp.asarray(ri), jnp.asarray(qi),
+                    cfg=cfg, budgets=budgets, chunk=chunk)
+    return ri, qi, {k: np.asarray(v) for k, v in out.items()}
