@@ -1,0 +1,194 @@
+"""Command-line interface: the skani CLI surface on the TPU engine.
+
+Re-creates the four skani subcommands the reference crate ships (its
+``cli`` feature is enabled by pyskani, reference Cargo.toml:34; modes
+``Mode::{Sketch,Dist,Search,Triangle}`` per SURVEY.md §2 S1):
+
+  skani-tpu sketch   -o DIR genome1.fa [genome2.fa ...]
+  skani-tpu dist     -q query.fa [...] -r ref.fa [...]
+  skani-tpu search   -d DIR query.fa [...]
+  skani-tpu triangle genome1.fa genome2.fa [...]
+
+Output is skani-style TSV:
+  Ref_file  Query_file  ANI  Align_fraction_ref  Align_fraction_query
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import List
+
+
+def _add_sketch_params(p):
+    p.add_argument("-c", "--compression", type=int, default=125,
+                   help="compression factor (sketch density)")
+    p.add_argument("-m", "--marker-compression", type=int, default=1000,
+                   help="marker k-mer compression factor")
+    p.add_argument("-k", type=int, default=15, help="k-mer size")
+
+
+def _add_query_params(p):
+    p.add_argument("--median", action="store_true",
+                   help="estimate median instead of mean identity")
+    p.add_argument("--robust", action="store_true",
+                   help="10%%/90%% trimmed-mean identity")
+    p.add_argument("-s", "--screen", type=float, default=None,
+                   help="marker screening ANI cutoff (fraction or percent)")
+    p.add_argument("--faster-small", action="store_true",
+                   help="screen genomes with <20 markers aggressively")
+    p.add_argument("--learned-ani", choices=["auto", "yes", "no"],
+                   default="auto")
+    p.add_argument("--min-af", type=float, default=15.0,
+                   help="minimum aligned fraction (percent) to report")
+
+
+def _learned(val):
+    return {"auto": None, "yes": True, "no": False}[val]
+
+
+def _screen_val(s):
+    if s is None:
+        return None
+    return s / 100.0 if s > 1.0 else s
+
+
+def _header(out):
+    out.write("Ref_file\tQuery_file\tANI\tAlign_fraction_ref\t"
+              "Align_fraction_query\n")
+
+
+def _emit(out, ref_name, query_name, ani, af_r, af_q):
+    out.write(f"{ref_name}\t{query_name}\t{100*ani:.2f}\t"
+              f"{100*af_r:.2f}\t{100*af_q:.2f}\n")
+
+
+def _genome_records(paths: List[str]):
+    """Yield (name, contigs) per FASTA file (whole file = one genome)."""
+    from .io.fasta import parse
+    for path in paths:
+        contigs = [rec.seq for rec in parse(path)]
+        yield os.path.basename(path), contigs
+
+
+def cmd_sketch(args) -> int:
+    from .database import Database
+    with Database(args.output, compression=args.compression,
+                  marker_compression=args.marker_compression,
+                  k=args.k) as db:
+        for name, contigs in _genome_records(args.genomes):
+            db.sketch(name, *contigs)
+            print(f"sketched {name}", file=sys.stderr)
+    return 0
+
+
+def cmd_dist(args) -> int:
+    from .database import Database
+    db = Database(compression=args.compression,
+                  marker_compression=args.marker_compression, k=args.k)
+    for name, contigs in _genome_records(args.refs):
+        db.sketch(name, *contigs)
+    _header(sys.stdout)
+    for qname, qcontigs in _genome_records(args.queries):
+        hits = db.query(qname, *qcontigs, median=args.median,
+                        robust=args.robust, cutoff=_screen_val(args.screen),
+                        faster_small=args.faster_small,
+                        learned_ani=_learned(args.learned_ani))
+        for h in hits:
+            if max(h.query_fraction, h.reference_fraction) * 100 < args.min_af:
+                continue
+            _emit(sys.stdout, h.reference_name, h.query_name, h.identity,
+                  h.reference_fraction, h.query_fraction)
+    return 0
+
+
+def cmd_search(args) -> int:
+    from .database import Database
+    db = Database.open(args.database) if not args.preload \
+        else Database.load(args.database)
+    _header(sys.stdout)
+    for qname, qcontigs in _genome_records(args.queries):
+        hits = db.query(qname, *qcontigs, median=args.median,
+                        robust=args.robust, cutoff=_screen_val(args.screen),
+                        faster_small=args.faster_small,
+                        learned_ani=_learned(args.learned_ani))
+        for h in hits:
+            if max(h.query_fraction, h.reference_fraction) * 100 < args.min_af:
+                continue
+            _emit(sys.stdout, h.reference_name, h.query_name, h.identity,
+                  h.reference_fraction, h.query_fraction)
+    return 0
+
+
+def cmd_triangle(args) -> int:
+    import numpy as np
+
+    from .engine.batch import triangle
+    from .ops.sketch import sketch_genome_device
+    from .params import SketchParams
+
+    params = SketchParams(c=args.compression,
+                          marker_c=args.marker_compression, k=args.k)
+    names, sketches = [], []
+    for name, contigs in _genome_records(args.genomes):
+        names.append(name)
+        sketches.append(sketch_genome_device(name, contigs, params))
+    ri, qi, out = triangle(sketches)
+    key = "ani_median" if args.median else \
+        "ani_robust" if args.robust else "ani_mean"
+    _header(sys.stdout)
+    for i in range(len(ri)):
+        ani = float(out[key][i])
+        af_q = float(out["af_query"][i])
+        af_r = float(out["af_ref"][i])
+        if ani <= 0.1 or max(af_q, af_r) * 100 < args.min_af:
+            continue
+        _emit(sys.stdout, names[ri[i]], names[qi[i]], ani, af_r, af_q)
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="skani-tpu",
+        description="TPU-native ANI computation (skani method)")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("sketch", help="sketch genomes into a database")
+    p.add_argument("genomes", nargs="+")
+    p.add_argument("-o", "--output", required=True, help="database folder")
+    p.add_argument("--format", choices=["consolidated", "separated"],
+                   default=None)
+    _add_sketch_params(p)
+    p.set_defaults(func=cmd_sketch)
+
+    p = sub.add_parser("dist", help="ANI between query and reference genomes")
+    p.add_argument("-q", "--queries", nargs="+", required=True)
+    p.add_argument("-r", "--refs", nargs="+", required=True)
+    _add_sketch_params(p)
+    _add_query_params(p)
+    p.set_defaults(func=cmd_dist)
+
+    p = sub.add_parser("search", help="search a pre-sketched database")
+    p.add_argument("queries", nargs="+")
+    p.add_argument("-d", "--database", required=True)
+    p.add_argument("--preload", action="store_true",
+                   help="load all sketches in memory up front")
+    _add_query_params(p)
+    p.set_defaults(func=cmd_search)
+
+    p = sub.add_parser("triangle", help="all-vs-all ANI (lower triangle)")
+    p.add_argument("genomes", nargs="+")
+    _add_sketch_params(p)
+    _add_query_params(p)
+    p.set_defaults(func=cmd_triangle)
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
