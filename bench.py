@@ -74,7 +74,7 @@ def main():
     cfg = ChainConfig()
     batch = stack_sketches(sketches)
     nf = round_up(max(s.n_fragments(cfg.fragment_length)
-                      for s in sketches) + 2, 64)
+                      for s in sketches) + 2, 128)
     budgets = EngineBudgets(
         max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
         max_fragments=nf,

@@ -195,7 +195,7 @@ class Database:
 
     def _budgets_for(self, query: HostSketch, ref: HostSketch) -> EngineBudgets:
         fl = self._chain_cfg.fragment_length
-        nf = round_up(query.n_fragments(fl) + 2, 64)
+        nf = round_up(query.n_fragments(fl) + 2, 128)
         qa = query.device.seed_budget
         return EngineBudgets(
             max_anchors=round_up(int(qa * 1.5) + 4096, 8192),

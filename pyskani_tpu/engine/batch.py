@@ -113,7 +113,7 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
     batch = stack_sketches(sketches)
     if budgets is None:
         fl = cfg.fragment_length
-        nf = round_up(max(s.n_fragments(fl) for s in sketches) + 2, 64)
+        nf = round_up(max(s.n_fragments(fl) for s in sketches) + 2, 128)
         budgets = EngineBudgets(
             max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
             max_fragments=nf,

@@ -79,15 +79,38 @@ def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
                   budgets: EngineBudgets):
     """Cartesian anchors of shared non-repetitive k-mers (static budget).
 
-    Query-occurrence-major order, matching the oracle's join order so that
+    Sort-based merge join: the two seed tables are concatenated with a
+    source tag and sorted ONCE by (kmer, tag, index); run arithmetic on
+    the sorted stream (cummax/cumsum segmented ops) yields, for every
+    query occurrence, the position and length of its kmer's reference run
+    — no binary searches, which lower poorly on TPU.  Output slots are in
+    query-occurrence-major order, matching the oracle's join order so
     later stable sorts tie-break identically.
     """
-    S = query.seed_budget
-    left = jnp.searchsorted(ref.kmers, query.kmers, side="left")
-    right = jnp.searchsorted(ref.kmers, query.kmers, side="right")
-    rc = (right - left).astype(jnp.int32)
-    q_valid = jnp.arange(S) < query.n_seeds
-    ok = q_valid & (query.own_mult <= cfg.max_seed_multiplicity) & \
+    Sq, Sr = query.seed_budget, ref.seed_budget
+    n = Sq + Sr
+    kmer = jnp.concatenate([ref.kmers, query.kmers])
+    # pack (tag, original index) into one sort payload: tag in bit 30
+    packed = jnp.concatenate([
+        jnp.arange(Sr, dtype=jnp.int32),
+        jnp.arange(Sq, dtype=jnp.int32) | jnp.int32(1 << 30),
+    ])
+    kmer_s, packed_s = jax.lax.sort((kmer, packed), num_keys=2)
+    tag_q = packed_s >= (1 << 30)
+    orig = packed_s & jnp.int32((1 << 30) - 1)
+
+    i = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), kmer_s[1:] != kmer_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, i, 0))
+    # within a run all ref entries precede all query entries (tag order),
+    # so a query entry's ref-run is [run_start, run_start + rc)
+    r_excl = jnp.cumsum((~tag_q).astype(jnp.int32)) - (~tag_q).astype(jnp.int32)
+    # ref entries before me within my run (= the whole ref run, since all
+    # ref entries of a run sort before its query entries)
+    rc = jnp.where(tag_q, r_excl - r_excl[run_start], 0).astype(jnp.int32)
+    is_sent = kmer_s == jnp.uint32(0xFFFFFFFF)
+    own_mult_q = query.own_mult[jnp.minimum(orig, Sq - 1)]
+    ok = tag_q & (~is_sent) & (own_mult_q <= cfg.max_seed_multiplicity) & \
         (rc > 0) & (rc <= cfg.max_seed_multiplicity)
     counts = jnp.where(ok, rc, 0)
     offs = jnp.cumsum(counts) - counts          # exclusive prefix
@@ -95,23 +118,36 @@ def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
 
     A = budgets.max_anchors
     t = jnp.arange(A, dtype=jnp.int32)
-    # source query seed for each output slot
-    src = jnp.searchsorted(offs + counts, t, side="right").astype(jnp.int32)
-    src = jnp.minimum(src, S - 1)
+    # invert the prefix: source tagged position for each output slot via
+    # scatter of run offsets + cummax (TPU-friendly, no binary search)
+    slot0 = jnp.where(ok, offs, A)
+    src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
+    src = jax.lax.cummax(src_map[:A])
     j = t - offs[src]
     a_valid = t < total
-    r_idx = jnp.minimum(left[src] + j, ref.seed_budget - 1)
+    q_orig = orig[src]
+    r_sorted_idx = jnp.minimum(run_start[src] + j, n - 1)
+    r_orig = jnp.minimum(orig[r_sorted_idx], Sr - 1)
 
     return dict(
-        qpos=jnp.where(a_valid, query.positions[src], I32_SENTINEL),
-        qcid=jnp.where(a_valid, query.contig_ids[src], I32_SENTINEL),
-        qstrand=query.strands[src],
-        rpos=jnp.where(a_valid, ref.positions[r_idx], I32_SENTINEL),
-        rcid=jnp.where(a_valid, ref.contig_ids[r_idx], I32_SENTINEL),
-        rev=query.strands[src] != ref.strands[r_idx],
+        qpos=jnp.where(a_valid, query.positions[q_orig], I32_SENTINEL),
+        qcid=jnp.where(a_valid, query.contig_ids[q_orig], I32_SENTINEL),
+        rpos=jnp.where(a_valid, ref.positions[r_orig], I32_SENTINEL),
+        rcid=jnp.where(a_valid, ref.contig_ids[r_orig], I32_SENTINEL),
+        rev=query.strands[q_orig] != ref.strands[r_orig],
         valid=a_valid,
         n_anchors=total,
     )
+
+
+def _dp_dispatch(grid, cfg: ChainConfig, budgets: EngineBudgets):
+    """Pick the DP implementation: Pallas kernel on TPU, lax.scan else."""
+    if jax.default_backend() == "tpu":
+        from .chain_dp_pallas import dp_pallas
+        score_t, root_t = dp_pallas(grid["qpos"].T, grid["rpos"].T,
+                                    grid["meta"].T, cfg)
+        return score_t.T, root_t.T
+    return _dp_scan(grid, cfg, budgets)
 
 
 def _dp_scan(grid, cfg: ChainConfig, budgets: EngineBudgets):
@@ -237,10 +273,12 @@ def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
          a["valid"]),
         num_keys=5, is_stable=True)
 
-    # rank within fragment, scatter to [NF, PF] grid
+    # rank within fragment (segmented iota — no binary search)
     A = frag_s.shape[0]
-    first_of_frag = jnp.searchsorted(frag_s, frag_s, side="left")
-    rank = jnp.arange(A, dtype=jnp.int32) - first_of_frag.astype(jnp.int32)
+    ii = jnp.arange(A, dtype=jnp.int32)
+    frag_first = jnp.concatenate([jnp.ones(1, bool),
+                                  frag_s[1:] != frag_s[:-1]])
+    rank = ii - jax.lax.cummax(jnp.where(frag_first, ii, 0))
     ok = valid_s & (frag_s < NF) & (rank < PF)
     row = jnp.where(ok, frag_s, NF)   # overflow row NF is discarded
     col = jnp.where(ok, rank, PF)
@@ -250,16 +288,22 @@ def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
         g = g.at[row, col].set(jnp.where(ok, vals, fill))
         return g[:NF, :PF]
 
+    # pack the small fields into one scatter: qcid[30:17] rcid[16:3] rev[1]
+    # valid[0] (contig ids < 16384 by budget)
+    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3)         | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
+    meta = jnp.where(ok, meta, 0)
+    meta_g = grid_of(meta, 0)
     grid = {
         "qpos": grid_of(qpos_s, I32_SENTINEL),
         "rpos": grid_of(rpos_s, I32_SENTINEL),
-        "qcid": grid_of(qcid_s, I32_SENTINEL),
-        "rcid": grid_of(rcid_s, I32_SENTINEL),
-        "rev": grid_of(rev_s, False),
-        "valid": grid_of(ok, False),
+        "meta": meta_g,
+        "qcid": jnp.where(meta_g != 0, meta_g >> 17, I32_SENTINEL),
+        "rcid": jnp.where(meta_g != 0, (meta_g >> 3) & 0x3FFF, I32_SENTINEL),
+        "rev": ((meta_g >> 1) & 1).astype(bool),
+        "valid": (meta_g & 1).astype(bool),
     }
 
-    scores, roots = _dp_scan(grid, cfg, budgets)
+    scores, roots = _dp_dispatch(grid, cfg, budgets)
 
     # ---- per-chain stats: scatter into [NF, PF] bins keyed by root ----
     rows = jnp.broadcast_to(jnp.arange(NF, dtype=jnp.int32)[:, None], (NF, PF))

@@ -127,19 +127,52 @@ def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
     return (count, *out)
 
 
+def _decode_ascii(ascii_codes: jax.Array) -> jax.Array:
+    """ASCII nucleotides -> 2-bit codes, branch-free (A/a=0, C/c=1, G/g=2,
+    T/t=3, everything else 0 — matches BYTE_TO_SEQ)."""
+    up = ascii_codes & jnp.uint8(0xDF)  # fold lowercase
+    return ((up == ord("C")) * 1 + (up == ord("G")) * 2 +
+            (up == ord("T")) * 3).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "marker_k", "c", "marker_c",
                                              "seed_budget", "marker_budget"))
 def sketch_kernel(
-    codes: jax.Array,          # uint8 [L] concatenated contigs (zero padded)
-    pos_in_contig: jax.Array,  # int32 [L] position within contig (end coords)
-    contig_id: jax.Array,      # int32 [L] contig id per position (-1 padding)
+    ascii_codes: jax.Array,    # uint8 [L] concatenated contig bytes (padded)
+    contig_starts: jax.Array,  # int32 [C+1] global start of each contig,
+                               # with contig_starts[n_contigs] = total_len
+    n_contigs: jax.Array,      # int32 []
     *,
     k: int, marker_k: int, c: int, marker_c: int,
     seed_budget: int, marker_budget: int,
 ):
-    """All-positions FracMinHash scan + compaction for one genome."""
+    """All-positions FracMinHash scan + compaction for one genome.
+
+    Host ships only the raw sequence bytes; encoding, per-position contig
+    ids and in-contig positions are derived on device with scatter+scan
+    (no host-side 8N-byte index arrays, no large gathers).
+    """
     thr = u64.from_int((2**64 - 1) // c)
     mthr = u64.from_int((2**64 - 1) // marker_c)
+    L = ascii_codes.shape[0]
+    C = contig_starts.shape[0] - 1
+
+    codes = _decode_ascii(ascii_codes)
+    # contig id per position: +1 at every contig start, cumsum - 1;
+    # the terminal start (== total_len) pushes the padding region to id
+    # n_contigs, which the validity mask rejects.
+    bump = jnp.zeros(L + 1, jnp.int32).at[contig_starts].add(
+        jnp.where(jnp.arange(C + 1) <= n_contigs, 1, 0))
+    contig_id = jnp.cumsum(bump[:L]) - 1
+    # in-contig position: i - (global start of my contig), via segmented
+    # cummax of scattered start values
+    ii = jnp.arange(L, dtype=jnp.int32)
+    start_marks = jnp.zeros(L + 1, jnp.int32).at[contig_starts].max(
+        jnp.where(jnp.arange(C + 1) <= n_contigs, contig_starts, 0))
+    my_start = jax.lax.cummax(start_marks[:L])
+    pos_in_contig = ii - my_start
+    valid_pos = contig_id < n_contigs
+    contig_id = jnp.where(valid_pos, contig_id, -1)
 
     fwd = _rolling_u32(codes, k, reverse=False)
     rev = _rolling_u32(codes, k, reverse=True)
@@ -232,21 +265,22 @@ def sketch_genome_device(
     total = sum(lengths)
     L = max(round_up(max(total, 1), length_bucket), length_bucket)
 
-    codes = np.zeros(L, dtype=np.uint8)
-    pos_in_contig = np.full(L, -1, dtype=np.int32)
-    contig_id = np.full(L, -1, dtype=np.int32)
+    raw = np.zeros(L, dtype=np.uint8)
+    starts = np.zeros(max_contigs + 1, dtype=np.int32)
     off = 0
     for i, contig in enumerate(kept):
         n = len(contig)
-        codes[off:off + n] = BYTE_TO_SEQ[np.frombuffer(contig, dtype=np.uint8)]
-        pos_in_contig[off:off + n] = np.arange(n, dtype=np.int32)
-        contig_id[off:off + n] = i
+        raw[off:off + n] = np.frombuffer(contig, dtype=np.uint8)
+        starts[i] = off
         off += n
+    starts[len(kept):] = off
+    if len(starts) > max_contigs + 1:
+        raise ValueError("too many contigs for max_contigs budget")
 
     sb = seed_budget or seed_budget_for(total, params.c)
     mb = marker_budget or marker_budget_for(total, params.marker_c)
     out = sketch_kernel(
-        jnp.asarray(codes), jnp.asarray(pos_in_contig), jnp.asarray(contig_id),
+        jnp.asarray(raw), jnp.asarray(starts), jnp.int32(len(kept)),
         k=params.k, marker_k=params.marker_k, c=params.c,
         marker_c=params.marker_c, seed_budget=sb, marker_budget=mb)
 
