@@ -1,0 +1,81 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh.
+
+Shard-invariance is the key property (SURVEY.md §7.3 hard part 5): the
+sharded many-to-many search must produce the same ANI/AF as the
+single-device pair pipeline regardless of mesh shape.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from pyskani_tpu.engine.batch import stack_sketches, take_sketch
+from pyskani_tpu.oracle.chain import ChainConfig
+from pyskani_tpu.ops.chain import EngineBudgets, chain_pair
+from pyskani_tpu.ops.sketch import sketch_genome_device
+from pyskani_tpu.parallel.dist import make_sharded_search, shard_leading
+from pyskani_tpu.parallel.mesh import make_mesh
+from pyskani_tpu.params import SketchParams
+
+from conftest import mutate, random_genome
+
+CFG = ChainConfig()
+BUDGETS = EngineBudgets(max_anchors=4096, max_fragments=128,
+                        max_anchors_per_fragment=128)
+
+
+@pytest.fixture(scope="module")
+def family():
+    rng = np.random.default_rng(21)
+    base = random_genome(rng, 40_000)
+    genomes = [mutate(rng, base, 0.005 + 0.005 * i) for i in range(12)]
+    params = SketchParams()
+    return [sketch_genome_device(f"g{i}", [g], params,
+                                 length_bucket=1 << 16,
+                                 seed_budget=1024, marker_budget=512)
+            for i, g in enumerate(genomes)]
+
+
+def _reference_results(sketches, R, Q):
+    """Dense [R, Q] results via the single-device pair pipeline."""
+    out = np.zeros((R, Q))
+    afq = np.zeros((R, Q))
+    for i in range(R):
+        for j in range(Q):
+            r = chain_pair(sketches[i].device, sketches[R + j].device,
+                           cfg=CFG, budgets=BUDGETS)
+            out[i, j] = float(r["ani_mean"])
+            afq[i, j] = float(r["af_query"])
+    return out, afq
+
+
+@pytest.mark.parametrize("db,batch", [(8, 1), (4, 2), (2, 4)])
+def test_shard_invariance(family, db, batch):
+    R, Q = 8, 4
+    refs = stack_sketches(family[:R])
+    queries = stack_sketches(family[R:R + Q])
+    want_ani, want_afq = _reference_results(family, R, Q)
+
+    mesh = make_mesh(db=db, batch=batch)
+    step = make_sharded_search(mesh, CFG, BUDGETS, chunk=2)
+    r_sh = shard_leading(mesh, refs, "db")
+    q_sh = shard_leading(mesh, queries, "batch")
+    # pad the ref/query axes to multiples of the mesh axes
+    def pad_axis(tree, n, total):
+        return jax.tree.map(
+            lambda x: np.concatenate(
+                [np.asarray(x)] + [np.asarray(x[:1])] * (total - n)), tree)
+    if R % db or Q % batch:
+        pytest.skip("axis not divisible for this mesh")
+    out = step(r_sh, q_sh)
+    got_ani = np.asarray(out["ani_mean"])
+    got_afq = np.asarray(out["af_query"])
+    sp = np.asarray(out["screen_pass"])
+    assert got_ani.shape == (R, Q)
+    # screened-in entries must match the dense reference exactly
+    np.testing.assert_allclose(got_ani[sp], want_ani[sp], atol=2e-6)
+    np.testing.assert_allclose(got_afq[sp], want_afq[sp], atol=2e-6)
+    # the whole family is closely related: everything passes the screen
+    assert sp.all()
+    hits = int(np.asarray(out["total_hits"])[0])
+    assert hits == int((want_ani > 0.1).sum())
