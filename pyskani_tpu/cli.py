@@ -65,10 +65,21 @@ def _emit(out, ref_name, query_name, ani, af_r, af_q):
 
 
 def _genome_records(paths: List[str]):
-    """Yield (name, contigs) per FASTA file (whole file = one genome)."""
+    """Yield (name, contigs) per FASTA file (whole file = one genome).
+
+    Uses the native reader (native/fasta_reader.cpp) when built, falling
+    back to the pure-Python parser.
+    """
+    from .io.native import read_genome_native
     from .io.fasta import parse
     for path in paths:
-        contigs = [rec.seq for rec in parse(path)]
+        native = read_genome_native(path)
+        if native is not None:
+            seq, starts, _names = native
+            contigs = [seq[starts[i]:starts[i + 1]].tobytes()
+                       for i in range(len(starts) - 1)]
+        else:
+            contigs = [rec.seq for rec in parse(path)]
         yield os.path.basename(path), contigs
 
 

@@ -85,32 +85,37 @@ class DeviceSketch:
         return self.markers_hi.shape[0]
 
 
-def _rolling_u32(codes: jax.Array, k: int, reverse: bool) -> jax.Array:
-    """k-mer (2k <= 32 bits) ending at each position, as uint32."""
-    c = codes.astype(jnp.uint32)
-    out = jnp.zeros_like(c)
-    for j in range(k):
-        # base j of the window [i-k+1, i] is codes[i-(k-1)+j]
-        term = jnp.roll(c, k - 1 - j)
-        if reverse:
-            out = out | ((jnp.uint32(3) - term) << jnp.uint32(2 * j))
-        else:
-            out = out | (term << jnp.uint32(2 * (k - 1 - j)))
-    return out
+def _rolling_windows(codes: jax.Array):
+    """All rolling k-mer windows needed by the scan, via log-doubling.
 
-
-def _rolling_u64(codes: jax.Array, k: int, reverse: bool) -> u64.U64:
-    """k-mer (2k > 32 bits) ending at each position, as u32-pair."""
+    Returns (fwd15, rev15, marker_fwd: U64, marker_rev: U64) where entry i
+    covers the window ending at position i.  Doubling halves the op count
+    versus per-base accumulation (important for both compile time and HBM
+    traffic): w_{2n}[i] combines w_n[i] and w_n[i-n] with one shift+or.
+    Forward k-mers pack the newest base in the low bits; reverse
+    complements pack the newest base's complement in the high bits
+    (matching pyskani_tpu.oracle.seeding.rolling_kmers).
+    """
     c = codes.astype(jnp.uint32)
-    out = u64.from_u32(jnp.zeros_like(c))
-    for j in range(k):
-        term = jnp.roll(c, k - 1 - j)
-        if reverse:
-            term = jnp.uint32(3) - term
-            out = u64.or_(out, u64.shl(u64.from_u32(term), 2 * j))
-        else:
-            out = u64.or_(out, u64.shl(u64.from_u32(term), 2 * (k - 1 - j)))
-    return out
+    sh = lambda x, n: jnp.roll(x, n)
+
+    f2 = (sh(c, 1) << jnp.uint32(2)) | c
+    f4 = (sh(f2, 2) << jnp.uint32(4)) | f2
+    f8 = (sh(f4, 4) << jnp.uint32(8)) | f4
+    f16 = (sh(f8, 8) << jnp.uint32(16)) | f8
+    fwd15 = f16 & jnp.uint32(0x3FFFFFFF)
+    f5 = f8 & jnp.uint32(0x3FF)               # newest 5 bases
+    m_f = u64.U64(sh(f5, 16), f16)            # 42-bit forward marker k-mer
+
+    r1 = jnp.uint32(3) - c
+    r2 = (r1 << jnp.uint32(2)) | sh(r1, 1)
+    r4 = (r2 << jnp.uint32(4)) | sh(r2, 2)
+    r8 = (r4 << jnp.uint32(8)) | sh(r4, 4)
+    r16 = (r8 << jnp.uint32(16)) | sh(r8, 8)
+    rev15 = r16 >> jnp.uint32(2)
+    r5 = r8 >> jnp.uint32(6)                  # newest 5 complements (top)
+    m_r = u64.U64(r5, sh(r16, 5))             # 42-bit reverse marker k-mer
+    return fwd15, rev15, m_f, m_r
 
 
 def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
@@ -174,16 +179,15 @@ def sketch_kernel(
     valid_pos = contig_id < n_contigs
     contig_id = jnp.where(valid_pos, contig_id, -1)
 
-    fwd = _rolling_u32(codes, k, reverse=False)
-    rev = _rolling_u32(codes, k, reverse=True)
+    assert k == 15 and marker_k == 21, \
+        "the fused rolling scheme is specialised to k=15 / marker_k=21"
+    fwd, rev, mfwd, mrev = _rolling_windows(codes)
     strand = fwd < rev
     canon = jnp.where(strand, fwd, rev)
     h = u64.mm_hash64(u64.from_u32(canon))
     valid_seed = (contig_id >= 0) & (pos_in_contig >= k - 1)
     seed_mask = valid_seed & u64.lt(h, thr)
 
-    mfwd = _rolling_u64(codes, marker_k, reverse=False)
-    mrev = _rolling_u64(codes, marker_k, reverse=True)
     m_is_fwd = u64.lt(mfwd, mrev)
     mcanon = u64.U64(jnp.where(m_is_fwd, mfwd.hi, mrev.hi),
                      jnp.where(m_is_fwd, mfwd.lo, mrev.lo))
