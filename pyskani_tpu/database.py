@@ -82,6 +82,7 @@ class Database:
         self._markers: List[MarkerSketch] = []
         self._chain_cfg = ChainConfig()
         self._screen_cache = None
+        self._stack_cache = None
         if path is None:
             self._storage = MemoryStorage()
         else:
@@ -118,6 +119,7 @@ class Database:
         self._markers = markers
         self._chain_cfg = ChainConfig()
         self._screen_cache = None
+        self._stack_cache = None
         if (folder / "index.db").exists() and (folder / "sketches.db").exists():
             self._storage = ConsolidatedStorage(folder, load_index(folder))
         else:
@@ -175,6 +177,7 @@ class Database:
             hi=np.asarray(dev.markers_hi[:m]),
             lo=np.asarray(dev.markers_lo[:m])))
         self._screen_cache = None
+        self._stack_cache = None
         self._storage.store(host, self._params)
 
     def _marker_matrix(self):
@@ -193,7 +196,7 @@ class Database:
             self._screen_cache = (hi, lo, counts)
         return self._screen_cache
 
-    def _budgets_for(self, query: HostSketch, ref: HostSketch) -> EngineBudgets:
+    def _budgets_for(self, query: HostSketch, ref=None) -> EngineBudgets:
         fl = self._chain_cfg.fragment_length
         nf = round_up(query.n_fragments(fl) + 2, 128)
         qa = query.device.seed_budget
@@ -202,6 +205,24 @@ class Database:
             max_fragments=nf,
             max_anchors_per_fragment=512,
         )
+
+    def _ref_stack(self):
+        """(names, stacked DeviceSketch, seed_bucket, marker_bucket) for
+        the whole reference store; cached for in-memory databases."""
+        from .engine.batch import stack_sketches
+
+        if self._stack_cache is not None:
+            return self._stack_cache
+        names = [os.path.basename(m.name) for m in self._markers]
+        refs = [self._storage.load(n) for n in names]
+        bucket = round_up(max(int(r.device.n_seeds) for r in refs), 8192)
+        mbucket = round_up(max(int(r.device.n_markers) for r in refs), 512)
+        stack = stack_sketches(refs, seed_budget=bucket,
+                               marker_budget=mbucket)
+        out = (names, stack, bucket, mbucket)
+        if isinstance(self._storage, MemoryStorage):
+            self._stack_cache = out
+        return out
 
     def query(self, name: str, *contigs: _Sequence, seed: bool = True,
               learned_ani: Optional[bool] = None, median: bool = False,
@@ -231,25 +252,30 @@ class Database:
         shortlist = sorted({os.path.basename(self._markers[i].name)
                             for i in np.nonzero(passes)[0]})
 
-        # phase 2 — chain pipeline per shortlisted reference
+        # phase 2 — batched chain pipeline over the shortlist: the whole
+        # reference store is a stacked device tensor (cached; transferred
+        # once per database) and one dispatch chains every shortlisted
+        # pair (the reference loops pair-by-pair instead, lib.rs:639-657)
         maf = D_FRAC_COVER_CUTOFF
-        for ref_name in shortlist:
-            ref = self._storage.load(ref_name)
-            budgets = self._budgets_for(query, ref)
-            out = chain_pair(ref.device, qdev, cfg=self._chain_cfg,
-                             budgets=budgets)
-            if median:
-                ani = float(out["ani_median"])
-            elif robust:
-                ani = float(out["ani_robust"])
-            else:
-                ani = float(out["ani_mean"])
-            af_q = float(out["af_query"])
-            af_r = float(out["af_ref"])
+        from .engine.batch import one_vs_many, repad_sketch
+
+        names_all, stack, bucket, mbucket = self._ref_stack()
+        idx = np.array([names_all.index(rn) for rn in shortlist], np.int32)
+        qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
+                            max(mbucket, query.device.marker_budget))
+        budgets = self._budgets_for(query, None)
+        out = one_vs_many(stack, qpad, idx, cfg=self._chain_cfg,
+                          budgets=budgets, chunk=min(8, max(1, len(idx))))
+        key = "ani_median" if median else \
+            "ani_robust" if robust else "ani_mean"
+        for i, ref_name in enumerate(shortlist):
+            ani = float(out[key][i])
+            af_q = float(out["af_query"][i])
+            af_r = float(out["af_ref"][i])
             if model is not None and not median:
                 ani = regression.apply_model(model, ani, af_q, af_r)
-            # min_aligned_frac gate (CommandParams.min_aligned_frac = 0.15,
-            # lib.rs:589-590); both_min_aligned_frac is disabled (-0.01)
+            # min_aligned_frac gate (CommandParams.min_aligned_frac =
+            # 0.15, lib.rs:589-590); both_min_aligned_frac is -0.01
             if af_q < maf and af_r < maf:
                 continue
             if ani > MIN_ANI_KEEP:

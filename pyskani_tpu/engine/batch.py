@@ -101,6 +101,27 @@ def pairs_ani(batch: DeviceSketch, ref_idx: jax.Array, query_idx: jax.Array,
     return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "budgets", "chunk"))
+def one_vs_many(refs: DeviceSketch, query: DeviceSketch, ref_idx: jax.Array,
+                *, cfg: ChainConfig, budgets: EngineBudgets, chunk: int = 8):
+    """One query against selected references of a stacked DB tensor.
+
+    ``refs`` is the stacked (possibly db-sharded) reference store; the
+    query sketch stays separate so the store is transferred/stacked once
+    per database, not per query.  Returns dict of [len(ref_idx)] arrays.
+    """
+    def one(i):
+        r = take_sketch(refs, i)
+        return chain_pair(r, query, cfg=cfg, budgets=budgets)
+
+    P = ref_idx.shape[0]
+    pad = (-P) % chunk
+    idx = jnp.concatenate([ref_idx, jnp.zeros(pad, ref_idx.dtype)]) \
+        if pad else ref_idx
+    out = jax.lax.map(jax.vmap(one), idx.reshape(-1, chunk))
+    return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
+
+
 def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
              budgets: EngineBudgets | None = None, chunk: int = 8):
     """All-vs-all ANI over a genome set (reference `skani triangle` mode).

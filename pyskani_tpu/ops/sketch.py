@@ -121,13 +121,23 @@ def _rolling_windows(codes: jax.Array):
 def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
              sentinels: Sequence) -> tuple:
     """Gather ``arrays`` at positions where ``mask`` is set, padded to
-    ``budget`` with per-array sentinels.  Returns (count, gathered...)."""
-    (idx,) = jnp.nonzero(mask, size=budget, fill_value=0)
+    ``budget`` with per-array sentinels.  Returns (count, gathered...).
+
+    Uses lax.top_k over negated indices instead of jnp.nonzero: nonzero
+    lowers to a full-length sort (genome-sized — dominant compile AND
+    runtime cost), while TopK is a fast partial-reduction custom call.
+    """
+    L = mask.shape[0]
+    i = jnp.arange(L, dtype=jnp.int32)
+    floor = jnp.int32(-(2**31 - 2))
+    key = jnp.where(mask, -i, floor)
+    topv, _ = jax.lax.top_k(key, budget)   # descending = ascending positions
+    valid = topv > floor
+    src = jnp.where(valid, -topv, 0)
     count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), budget)
-    valid = jnp.arange(budget, dtype=jnp.int32) < count
     out = []
     for arr, sent in zip(arrays, sentinels):
-        g = arr[idx]
+        g = arr[src]
         out.append(jnp.where(valid, g, jnp.asarray(sent, g.dtype)))
     return (count, *out)
 
