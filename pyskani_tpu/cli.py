@@ -198,7 +198,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
-    return args.func(args)
+    rc = args.func(args)
+    from .utils import profiling
+    if profiling.enabled():
+        import json
+        snap = profiling.stats().snapshot()
+        print("stats: " + json.dumps(snap), file=sys.stderr)
+    return rc
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ import numpy as np
 
 from . import regression
 from .hit import Hit
+from .utils import profiling
 from .oracle.chain import ChainConfig
 from .db import storage as dbstorage
 from .db.storage import (ConsolidatedStorage, FolderStorage, MarkerSketch,
@@ -167,7 +168,10 @@ class Database:
         """Add a reference genome to the database (reference
         lib.rs:466-510)."""
         data = [_as_bytes(c) for c in contigs]
-        host = sketch_genome_device(name, data, self._params)
+        with profiling.scope("sketch"):
+            host = sketch_genome_device(name, data, self._params)
+        if profiling.enabled():
+            profiling.stats().add("bases_sketched", sum(map(len, data)))
         dev = host.device
         m = int(dev.n_markers)
         self._markers.append(MarkerSketch(
@@ -230,7 +234,10 @@ class Database:
               faster_small: bool = False) -> List[Hit]:
         """Query the database with a genome (reference lib.rs:512-660)."""
         data = [_as_bytes(c) for c in contigs]
-        query = sketch_genome_device(name, data, self._params)
+        with profiling.scope("sketch"):
+            query = sketch_genome_device(name, data, self._params)
+        if profiling.enabled():
+            profiling.stats().add("bases_sketched", sum(map(len, data)))
 
         screen_val = cutoff if cutoff is not None else SEARCH_ANI_CUTOFF_DEFAULT
         learned = learned_ani if learned_ani is not None else \
@@ -244,11 +251,15 @@ class Database:
         # phase 1 — batched marker screen (one op, all references)
         hi, lo, counts = self._marker_matrix()
         qdev = query.device
-        passes, _ = screen_batch(
-            qdev.markers_hi, qdev.markers_lo, qdev.n_markers,
-            hi, lo, counts, screen_val,
-            marker_k=self._params.marker_k, rescue_small=not faster_small)
-        passes = np.asarray(passes)
+        with profiling.scope("screen"):
+            passes, _ = screen_batch(
+                qdev.markers_hi, qdev.markers_lo, qdev.n_markers,
+                hi, lo, counts, screen_val,
+                marker_k=self._params.marker_k, rescue_small=not faster_small)
+            passes = np.asarray(passes)
+        if profiling.enabled():
+            profiling.stats().add("refs_screened", len(self._markers))
+            profiling.stats().add("screen_passed", int(passes.sum()))
         shortlist = sorted({os.path.basename(self._markers[i].name)
                             for i in np.nonzero(passes)[0]})
 
@@ -264,8 +275,11 @@ class Database:
         qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
                             max(mbucket, query.device.marker_budget))
         budgets = self._budgets_for(query, None)
-        out = one_vs_many(stack, qpad, idx, cfg=self._chain_cfg,
-                          budgets=budgets, chunk=min(8, max(1, len(idx))))
+        with profiling.scope("chain"):
+            out = one_vs_many(stack, qpad, idx, cfg=self._chain_cfg,
+                              budgets=budgets, chunk=min(8, max(1, len(idx))))
+        if profiling.enabled():
+            profiling.stats().add("pairs_chained", len(shortlist))
         key = "ani_median" if median else \
             "ani_robust" if robust else "ani_mean"
         for i, ref_name in enumerate(shortlist):
