@@ -50,25 +50,24 @@ def main():
     from pyskani_tpu.engine.batch import pairs_ani, stack_sketches
     from pyskani_tpu.oracle.chain import ChainConfig
     from pyskani_tpu.ops.chain import EngineBudgets
-    from pyskani_tpu.ops.sketch import round_up, sketch_genome_device
+    from pyskani_tpu.ops.sketch import round_up, sketch_genomes_device
     from pyskani_tpu.params import SketchParams
 
     dev = jax.devices()[0]
     params = SketchParams()
     genomes = make_genomes(N_GENOMES, GENOME_LEN)
+    named = [(f"g{i}", [g]) for i, g in enumerate(genomes)]
 
-    # --- sketching (throughput measured after warmup compile) ---
+    # --- sketching (batched kernel; steady rate measured post-compile) ---
     t0 = time.time()
-    sketches = [sketch_genome_device(f"g{i}", [g], params)
-                for i, g in enumerate(genomes)]
+    sketches = sketch_genomes_device(named, params)
     jax.block_until_ready(sketches[-1].device.kmers)
     t_sketch_all = time.time() - t0
-    # re-sketch a few without compile cost for the steady-state rate
+    # re-sketch a batch without compile cost for the steady-state rate
     t0 = time.time()
-    for g in genomes[:4]:
-        s = sketch_genome_device("w", [g], params)
-    jax.block_until_ready(s.device.kmers)
-    sketch_mbps = 4 * GENOME_LEN / (time.time() - t0) / 1e6
+    warm = sketch_genomes_device(named[:8], params)
+    jax.block_until_ready(warm[-1].device.kmers)
+    sketch_mbps = 8 * GENOME_LEN / (time.time() - t0) / 1e6
 
     # --- all-vs-all triangle ---
     cfg = ChainConfig()

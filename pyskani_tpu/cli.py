@@ -88,9 +88,8 @@ def cmd_sketch(args) -> int:
     with Database(args.output, compression=args.compression,
                   marker_compression=args.marker_compression,
                   k=args.k) as db:
-        for name, contigs in _genome_records(args.genomes):
-            db.sketch(name, *contigs)
-            print(f"sketched {name}", file=sys.stderr)
+        db.sketch_many(_genome_records(args.genomes))
+        print(f"sketched {len(args.genomes)} genomes", file=sys.stderr)
     return 0
 
 
@@ -98,8 +97,7 @@ def cmd_dist(args) -> int:
     from .database import Database
     db = Database(compression=args.compression,
                   marker_compression=args.marker_compression, k=args.k)
-    for name, contigs in _genome_records(args.refs):
-        db.sketch(name, *contigs)
+    db.sketch_many(_genome_records(args.refs))
     _header(sys.stdout)
     for qname, qcontigs in _genome_records(args.queries):
         hits = db.query(qname, *qcontigs, median=args.median,
@@ -136,15 +134,14 @@ def cmd_triangle(args) -> int:
     import numpy as np
 
     from .engine.batch import triangle
-    from .ops.sketch import sketch_genome_device
+    from .ops.sketch import sketch_genomes_device
     from .params import SketchParams
 
     params = SketchParams(c=args.compression,
                           marker_c=args.marker_compression, k=args.k)
-    names, sketches = [], []
-    for name, contigs in _genome_records(args.genomes):
-        names.append(name)
-        sketches.append(sketch_genome_device(name, contigs, params))
+    named = list(_genome_records(args.genomes))
+    sketches = sketch_genomes_device(named, params)
+    names = [s.name for s in sketches]
     ri, qi, out = triangle(sketches)
     key = "ani_median" if args.median else \
         "ani_robust" if args.robust else "ani_mean"

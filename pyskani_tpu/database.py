@@ -172,10 +172,33 @@ class Database:
             host = sketch_genome_device(name, data, self._params)
         if profiling.enabled():
             profiling.stats().add("bases_sketched", sum(map(len, data)))
+        self._register_sketch(host)
+
+    def sketch_many(self, named_contigs) -> None:
+        """Add many reference genomes with batched device dispatches.
+
+        ``named_contigs`` is an iterable of (name, [contig, ...]).  New
+        capability over the reference (which sketches serially per call,
+        lib.rs:477-510): genomes are stacked and the sketch kernel runs
+        once per stack, amortising host->device round trips.
+        """
+        from .ops.sketch import sketch_genomes_device
+        items = [(name, [_as_bytes(c) for c in contigs])
+                 for name, contigs in named_contigs]
+        with profiling.scope("sketch"):
+            hosts = sketch_genomes_device(items, self._params)
+        if profiling.enabled():
+            profiling.stats().add(
+                "bases_sketched",
+                sum(len(c) for _, cs in items for c in cs))
+        for host in hosts:
+            self._register_sketch(host)
+
+    def _register_sketch(self, host: HostSketch) -> None:
         dev = host.device
         m = int(dev.n_markers)
         self._markers.append(MarkerSketch(
-            name=name, total_len=host.total_len,
+            name=host.name, total_len=host.total_len,
             contig_names=host.contig_names,
             contig_lengths=list(host.lengths),
             hi=np.asarray(dev.markers_hi[:m]),

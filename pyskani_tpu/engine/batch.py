@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle.chain import ChainConfig
-from ..ops.chain import EngineBudgets, chain_pair
+from ..ops.chain import EngineBudgets, chain_pair, chain_pairs
 from ..ops.sketch import DeviceSketch, HostSketch, round_up
 
 
@@ -83,13 +83,14 @@ def pairs_ani(batch: DeviceSketch, ref_idx: jax.Array, query_idx: jax.Array,
               *, cfg: ChainConfig, budgets: EngineBudgets, chunk: int = 8):
     """ANI/AF for an arbitrary list of (ref, query) index pairs.
 
-    Streams through the pair list in chunks of ``chunk`` vmapped pipelines
-    to bound peak memory.  Returns dict of [P] arrays.
+    Streams through the pair list in chunks of ``chunk`` batched pipelines
+    to bound peak memory (the chain DP runs once per chunk with all the
+    chunk's fragments in lanes).  Returns dict of [P] arrays.
     """
-    def one(pair):
-        r = take_sketch(batch, pair[0])
-        q = take_sketch(batch, pair[1])
-        return chain_pair(r, q, cfg=cfg, budgets=budgets)
+    def one_chunk(pair_chunk):  # [chunk, 2]
+        r = take_sketch(batch, pair_chunk[:, 0])
+        q = take_sketch(batch, pair_chunk[:, 1])
+        return chain_pairs(r, q, cfg=cfg, budgets=budgets)
 
     pairs = jnp.stack([ref_idx, query_idx], axis=1)
     P = pairs.shape[0]
@@ -97,7 +98,7 @@ def pairs_ani(batch: DeviceSketch, ref_idx: jax.Array, query_idx: jax.Array,
     pairs = jnp.concatenate(
         [pairs, jnp.zeros((pad, 2), pairs.dtype)]) if pad else pairs
     chunked = pairs.reshape(-1, chunk, 2)
-    out = jax.lax.map(jax.vmap(one), chunked)
+    out = jax.lax.map(one_chunk, chunked)
     return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
 
 
@@ -110,15 +111,18 @@ def one_vs_many(refs: DeviceSketch, query: DeviceSketch, ref_idx: jax.Array,
     query sketch stays separate so the store is transferred/stacked once
     per database, not per query.  Returns dict of [len(ref_idx)] arrays.
     """
-    def one(i):
-        r = take_sketch(refs, i)
-        return chain_pair(r, query, cfg=cfg, budgets=budgets)
+    q_tiled = jax.tree.map(
+        lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), query)
+
+    def one_chunk(idx_chunk):
+        r = take_sketch(refs, idx_chunk)
+        return chain_pairs(r, q_tiled, cfg=cfg, budgets=budgets)
 
     P = ref_idx.shape[0]
     pad = (-P) % chunk
     idx = jnp.concatenate([ref_idx, jnp.zeros(pad, ref_idx.dtype)]) \
         if pad else ref_idx
-    out = jax.lax.map(jax.vmap(one), idx.reshape(-1, chunk))
+    out = jax.lax.map(one_chunk, idx.reshape(-1, chunk))
     return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
 
 

@@ -6,11 +6,19 @@ defined by the fitted NumPy oracle (pyskani_tpu.oracle.chain).  Design:
 
 * anchors come from a vectorised sorted-join of the two seed tables with
   a static anchor budget (no hash maps);
+* the 5 anchor sort keys (frag, rcid, rpos, qcid, qpos) are packed into
+  3 machine words — (frag<<14|rcid, rpos, global-qpos·4+rev·2+valid) —
+  so the big per-pair sort moves 3 operands instead of 7 and compares 3
+  keys instead of 5 (global qpos is monotone in (qcid, qpos), making the
+  packed order identical);
 * anchors are scattered into a [fragments, anchors-per-fragment] grid;
-  the banded chain DP runs as ONE ``lax.scan`` over the anchor axis with
-  every fragment advanced in lockstep (the sequential dependency is per
-  fragment, so the vector unit processes all fragments x band lanes in
-  parallel at each step);
+  the banded chain DP advances every fragment in lockstep along the
+  anchor axis (the sequential dependency is per fragment, so the vector
+  unit processes all fragments x band lanes in parallel at each step);
+* the DP runs ONCE per *batch* of pairs: each pair's fragment rows are
+  independent, so a chunk of B pairs is reshaped to one [B*NF, PF] grid
+  and the Pallas kernel (or lax.scan fallback) walks PF steps with
+  B*NF lanes — B times fewer sequential steps than vmapping the DP;
 * chains are identified by the DP's union roots (each anchor adopts its
   chosen predecessor's root), so per-chain statistics are plain masked
   segment reductions on the grid — no host-side union-find;
@@ -140,14 +148,106 @@ def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
     )
 
 
+def _pre_dp(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
+            budgets: EngineBudgets):
+    """Anchors -> sorted -> [NF, PF] grid (everything before the DP).
+
+    Returns (grid dict, n_anchors).  Grid fields qpos/rpos/meta feed the
+    DP; qcid/rcid/rev/valid are unpacked views of meta for the stats.
+    """
+    fl = cfg.fragment_length
+    NF = budgets.max_fragments
+    PF = budgets.max_anchors_per_fragment
+    C = query.contig_lengths.shape[0]
+
+    q_starts, q_frag_offs = _contig_layout(query, fl)
+    a = _join_anchors(ref, query, cfg, budgets)
+
+    cid_safe = jnp.clip(a["qcid"], 0, C - 1)
+    frag = q_frag_offs[cid_safe] + a["qpos"] // fl
+    valid = a["valid"]
+
+    # ---- sort anchors by (frag, rcid, rpos, qcid, qpos) with 3 packed
+    # keys: global query position gq is monotone in (qcid, qpos), and
+    # (k1, k2, gq) is unique per anchor, so the non-stable 3-key order
+    # equals the stable 5-key order.  rev/valid ride in payload bits 1/0
+    # (requires total genome length < 2^30 ≈ 1 Gbp — fine for genomes).
+    gq = q_starts[cid_safe] + a["qpos"]
+    k1 = jnp.where(valid, (frag << 14) | a["rcid"], POS_BIG)
+    k2 = jnp.where(valid, a["rpos"], POS_BIG)
+    payload = jnp.where(
+        valid,
+        (gq.astype(jnp.uint32) << 2) | (a["rev"].astype(jnp.uint32) << 1)
+        | jnp.uint32(1),
+        jnp.uint32(0xFFFFFFFC))
+    k1, k2, payload = jax.lax.sort((k1, k2, payload), num_keys=3)
+
+    valid_s = (payload & 1) == 1
+    rev_s = (payload & 2) == 2
+    gq_s = (payload >> 2).astype(jnp.int32)
+    frag_s = jnp.where(valid_s, k1 >> 14, I32_SENTINEL)
+    rcid_s = k1 & 0x3FFF
+    rpos_s = k2
+    # fragment -> query contig lookup table (also used post-DP)
+    frag_ids = jnp.arange(NF, dtype=jnp.int32)
+    frag_cid_tab = jnp.clip(
+        (jnp.searchsorted(q_frag_offs, frag_ids, side="right") - 1
+         ).astype(jnp.int32), 0, C - 1)
+    qcid_s = frag_cid_tab[jnp.clip(frag_s, 0, NF - 1)]
+    qpos_s = gq_s - q_starts[qcid_s]
+
+    # rank within fragment (segmented iota — no binary search)
+    A = frag_s.shape[0]
+    ii = jnp.arange(A, dtype=jnp.int32)
+    frag_first = jnp.concatenate([jnp.ones(1, bool),
+                                  frag_s[1:] != frag_s[:-1]])
+    rank = ii - jax.lax.cummax(jnp.where(frag_first, ii, 0))
+    ok = valid_s & (frag_s < NF) & (rank < PF)
+    row = jnp.where(ok, frag_s, NF)   # overflow row NF is discarded
+    col = jnp.where(ok, rank, PF)
+
+    def grid_of(vals, fill):
+        g = jnp.full((NF + 1, PF + 1), fill, vals.dtype)
+        g = g.at[row, col].set(jnp.where(ok, vals, fill))
+        return g[:NF, :PF]
+
+    # pack the small fields into one scatter: qcid[30:17] rcid[16:3] rev[1]
+    # valid[0] (contig ids < 16384 by budget)
+    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
+        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
+    meta = jnp.where(ok, meta, 0)
+    meta_g = grid_of(meta, 0)
+    grid = {
+        "qpos": grid_of(qpos_s, I32_SENTINEL),
+        "rpos": grid_of(rpos_s, I32_SENTINEL),
+        "meta": meta_g,
+    }
+    return grid, a["n_anchors"]
+
+
+def _unpack_meta(grid):
+    meta_g = grid["meta"]
+    return dict(
+        qpos=grid["qpos"], rpos=grid["rpos"], meta=meta_g,
+        qcid=jnp.where(meta_g != 0, meta_g >> 17, I32_SENTINEL),
+        rcid=jnp.where(meta_g != 0, (meta_g >> 3) & 0x3FFF, I32_SENTINEL),
+        rev=((meta_g >> 1) & 1).astype(bool),
+        valid=(meta_g & 1).astype(bool),
+    )
+
+
 def _dp_dispatch(grid, cfg: ChainConfig, budgets: EngineBudgets):
-    """Pick the DP implementation: Pallas kernel on TPU, lax.scan else."""
+    """Pick the DP implementation: Pallas kernel on TPU, lax.scan else.
+
+    ``grid`` rows (fragments) are independent, so callers may pass any
+    number of rows — including several pairs' grids stacked together.
+    """
     if jax.default_backend() == "tpu":
         from .chain_dp_pallas import dp_pallas
         score_t, root_t = dp_pallas(grid["qpos"].T, grid["rpos"].T,
                                     grid["meta"].T, cfg)
         return score_t.T, root_t.T
-    return _dp_scan(grid, cfg, budgets)
+    return _dp_scan(_unpack_meta(grid), cfg, budgets)
 
 
 def _dp_scan(grid, cfg: ChainConfig, budgets: EngineBudgets):
@@ -228,7 +328,8 @@ def _union_length(lo: jax.Array, hi: jax.Array, valid: jax.Array) -> jax.Array:
     coordinates; intervals never span contigs)."""
     lo_s = jnp.where(valid, lo, POS_BIG)
     hi_s = jnp.where(valid, hi, NEG_BIG)
-    lo_s, hi_s = jax.lax.sort((lo_s, hi_s), num_keys=1, is_stable=True)
+    # order within equal-lo ties is irrelevant to the union: non-stable
+    lo_s, hi_s = jax.lax.sort((lo_s, hi_s), num_keys=1, is_stable=False)
     cmax = jax.lax.cummax(hi_s)
     prev = jnp.concatenate([jnp.full(1, NEG_BIG), cmax[:-1]])
     contrib = jnp.maximum(0, hi_s - jnp.maximum(lo_s - 1, prev))
@@ -245,65 +346,16 @@ def _interp_quantile(sorted_vals: jax.Array, n: jax.Array, q: float) -> jax.Arra
     return sorted_vals[lo] * (1 - w) + sorted_vals[hi] * w
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "budgets"))
-def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
-               cfg: ChainConfig, budgets: EngineBudgets):
-    """Full pair pipeline on device: anchors -> chains -> ANI/AF.
-
-    Returns a dict of scalars: ani_mean, ani_robust, ani_median, af_query,
-    af_ref, n_anchors, n_fragments (all device arrays).
-    """
-    _check_supported(cfg)
+def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
+             cfg: ChainConfig, budgets: EngineBudgets):
+    """Chain stats, estimators and aligned fractions (after the DP)."""
     fl = cfg.fragment_length
     NF = budgets.max_fragments
     PF = budgets.max_anchors_per_fragment
 
     q_starts, q_frag_offs = _contig_layout(query, fl)
     r_starts, _ = _contig_layout(ref, fl)
-
-    a = _join_anchors(ref, query, cfg, budgets)
-
-    cid_safe = jnp.clip(a["qcid"], 0, query.contig_lengths.shape[0] - 1)
-    frag = jnp.where(a["valid"],
-                     q_frag_offs[cid_safe] + a["qpos"] // fl, I32_SENTINEL)
-
-    # ---- sort anchors by (frag, rcid, rpos, qcid, qpos), stable ----
-    frag_s, rcid_s, rpos_s, qcid_s, qpos_s, rev_s, valid_s = jax.lax.sort(
-        (frag, a["rcid"], a["rpos"], a["qcid"], a["qpos"], a["rev"],
-         a["valid"]),
-        num_keys=5, is_stable=True)
-
-    # rank within fragment (segmented iota — no binary search)
-    A = frag_s.shape[0]
-    ii = jnp.arange(A, dtype=jnp.int32)
-    frag_first = jnp.concatenate([jnp.ones(1, bool),
-                                  frag_s[1:] != frag_s[:-1]])
-    rank = ii - jax.lax.cummax(jnp.where(frag_first, ii, 0))
-    ok = valid_s & (frag_s < NF) & (rank < PF)
-    row = jnp.where(ok, frag_s, NF)   # overflow row NF is discarded
-    col = jnp.where(ok, rank, PF)
-
-    def grid_of(vals, fill):
-        g = jnp.full((NF + 1, PF + 1), fill, vals.dtype)
-        g = g.at[row, col].set(jnp.where(ok, vals, fill))
-        return g[:NF, :PF]
-
-    # pack the small fields into one scatter: qcid[30:17] rcid[16:3] rev[1]
-    # valid[0] (contig ids < 16384 by budget)
-    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3)         | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
-    meta = jnp.where(ok, meta, 0)
-    meta_g = grid_of(meta, 0)
-    grid = {
-        "qpos": grid_of(qpos_s, I32_SENTINEL),
-        "rpos": grid_of(rpos_s, I32_SENTINEL),
-        "meta": meta_g,
-        "qcid": jnp.where(meta_g != 0, meta_g >> 17, I32_SENTINEL),
-        "rcid": jnp.where(meta_g != 0, (meta_g >> 3) & 0x3FFF, I32_SENTINEL),
-        "rev": ((meta_g >> 1) & 1).astype(bool),
-        "valid": (meta_g & 1).astype(bool),
-    }
-
-    scores, roots = _dp_dispatch(grid, cfg, budgets)
+    grid = _unpack_meta(grid)
 
     # ---- per-chain stats: scatter into [NF, PF] bins keyed by root ----
     rows = jnp.broadcast_to(jnp.arange(NF, dtype=jnp.int32)[:, None], (NF, PF))
@@ -321,10 +373,14 @@ def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
         jnp.where(v, grid["rpos"], POS_BIG))[:, :PF]
     c_rmax = jnp.full((NF, PF + 1), NEG_BIG).at[rows, rootc].max(
         jnp.where(v, grid["rpos"], NEG_BIG))[:, :PF]
-    c_qcid = jnp.full((NF, PF + 1), I32_SENTINEL).at[rows, rootc].min(
-        jnp.where(v, grid["qcid"], I32_SENTINEL))[:, :PF]
-    c_rcid = jnp.full((NF, PF + 1), I32_SENTINEL).at[rows, rootc].min(
-        jnp.where(v, grid["rcid"], I32_SENTINEL))[:, :PF]
+    # all anchors of a chain share (qcid, rcid): pack both into ONE
+    # scatter (qcid<<14|rcid, both < 2^14)
+    qrcid = (grid["qcid"] << 14) | grid["rcid"]
+    c_qrcid = jnp.full((NF, PF + 1), I32_SENTINEL).at[rows, rootc].min(
+        jnp.where(v, qrcid, I32_SENTINEL))[:, :PF]
+    c_qcid = jnp.where(c_qrcid == I32_SENTINEL, I32_SENTINEL, c_qrcid >> 14)
+    c_rcid = jnp.where(c_qrcid == I32_SENTINEL, I32_SENTINEL,
+                       c_qrcid & 0x3FFF)
 
     keep = (c_count >= cfg.min_anchors_chain)
     if cfg.min_chain_score > 0:
@@ -414,9 +470,49 @@ def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
         ani_median=jnp.where(no_cov, 0.0, med),
         af_query=af_q,
         af_ref=af_r,
-        n_anchors=a["n_anchors"],
         n_fragments=n_cov,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "budgets"))
+def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
+                cfg: ChainConfig, budgets: EngineBudgets):
+    """Batched pair pipeline: ``refs``/``queries`` are stacked
+    DeviceSketch pytrees with leading axis B (pair i = refs[i] vs
+    queries[i]).
+
+    Pre-DP (join/sort/grid) and post-DP (stats) are vmapped; the DP
+    itself runs ONCE on the merged [B*NF, PF] grid so its sequential
+    anchor walk is paid once per batch, not once per pair.  Returns a
+    dict of [B] arrays.
+    """
+    _check_supported(cfg)
+    grids, n_anchors = jax.vmap(
+        lambda r, q: _pre_dp(r, q, cfg, budgets))(refs, queries)
+    B, NF, PF = grids["qpos"].shape
+    merged = jax.tree.map(lambda x: x.reshape(B * NF, PF), grids)
+    scores, roots = _dp_dispatch(merged, cfg, budgets)
+    scores = scores.reshape(B, NF, PF)
+    roots = roots.reshape(B, NF, PF)
+    out = jax.vmap(
+        lambda r, q, g, s, ro: _post_dp(r, q, g, s, ro, cfg, budgets))(
+        refs, queries, grids, scores, roots)
+    out["n_anchors"] = n_anchors
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "budgets"))
+def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
+               cfg: ChainConfig, budgets: EngineBudgets):
+    """Full pair pipeline on device: anchors -> chains -> ANI/AF.
+
+    Returns a dict of scalars: ani_mean, ani_robust, ani_median, af_query,
+    af_ref, n_anchors, n_fragments (all device arrays).
+    """
+    rb = jax.tree.map(lambda x: x[None], ref)
+    qb = jax.tree.map(lambda x: x[None], query)
+    out = chain_pairs(rb, qb, cfg=cfg, budgets=budgets)
+    return jax.tree.map(lambda x: x[0], out)
 
 
 def cfg_k(query: DeviceSketch, cfg: ChainConfig) -> float:

@@ -1,14 +1,21 @@
 """Pallas TPU kernel for the banded chain DP.
 
 The XLA ``lax.scan`` formulation (ops/chain.py::_dp_scan) pays per-step
-while-loop overhead for 512 tiny steps; this kernel runs the same
+while-loop overhead for hundreds of tiny steps; this kernel runs the same
 recurrence as a hardware ``fori_loop`` with the band window resident in
-VMEM scratch, processing all fragments of a pair in vector lanes.
+VMEM scratch, processing fragments in vector lanes.
 
-Layout: anchor grids are transposed to [PF, NF] so each DP step reads one
-contiguous [NF] row (dynamic indexing on the major axis only).  The band
-window is a [band, NF] ring buffer.  Semantics are bit-identical to
-_dp_scan (tested in tests/test_device_chain.py and test_dp_pallas.py).
+Layout: anchor grids are transposed to [PF, NL] so each DP step reads one
+contiguous [NL] row (dynamic indexing on the major axis only).  NL is the
+*lane* axis: every fragment column is an independent recurrence, so
+callers stack many pairs' fragment rows side by side (see
+ops/chain.py::chain_pairs) and the sequential PF walk is paid once per
+batch.  The lane axis is blocked with a pallas grid (LANE_BLOCK columns
+per program instance) so VMEM usage is bounded regardless of batch size.
+
+The band window is a [band, LANE_BLOCK] ring buffer in VMEM scratch.
+Semantics are bit-identical to _dp_scan (tested in
+tests/test_device_chain.py and tests/test_parallel.py).
 
 Packed meta layout (must match ops/chain.py): qcid[30:17] rcid[16:3]
 rev[1] valid[0] — chain-compatibility of two anchors is equality of
@@ -28,21 +35,22 @@ from jax.experimental.pallas import tpu as pltpu
 from ..oracle.chain import ChainConfig
 
 NEG = -1e30
+LANE_BLOCK = 512
 
 
 def _dp_kernel(qpos_ref, rpos_ref, meta_ref, score_out, root_out,
                w_qpos, w_rpos, w_meta, w_score, w_root,
                *, band: int, anchor_score: float, gap_scale: float,
                max_gap: int):
-    PF, NF = qpos_ref.shape
+    PF, NL = qpos_ref.shape
 
-    w_qpos[:] = jnp.zeros((band, NF), jnp.int32)
-    w_rpos[:] = jnp.zeros((band, NF), jnp.int32)
-    w_meta[:] = jnp.zeros((band, NF), jnp.int32)  # valid bit 0 = no match
-    w_score[:] = jnp.full((band, NF), NEG, jnp.float32)
-    w_root[:] = jnp.zeros((band, NF), jnp.int32)
+    w_qpos[:] = jnp.zeros((band, NL), jnp.int32)
+    w_rpos[:] = jnp.zeros((band, NL), jnp.int32)
+    w_meta[:] = jnp.zeros((band, NL), jnp.int32)  # valid bit 0 = no match
+    w_score[:] = jnp.full((band, NL), NEG, jnp.float32)
+    w_root[:] = jnp.zeros((band, NL), jnp.int32)
 
-    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (band, NF), 0)
+    slot_iota = jax.lax.broadcasted_iota(jnp.int32, (band, NL), 0)
 
     def step(t, _):
         cur_q = qpos_ref[t, :]
@@ -95,27 +103,43 @@ def _dp_kernel(qpos_ref, rpos_ref, meta_ref, score_out, root_out,
 
 
 def dp_pallas(qpos_t, rpos_t, meta_t, cfg: ChainConfig):
-    """Run the DP over transposed grids [PF, NF] -> (score, root) [PF, NF].
+    """Run the DP over transposed grids [PF, NL] -> (score, root) [PF, NL].
 
-    ``meta`` packs (qcid, rcid, rev, valid) as in ops/chain.py.
+    ``meta`` packs (qcid, rcid, rev, valid) as in ops/chain.py.  NL may be
+    any lane count; it is padded to a LANE_BLOCK multiple and blocked over
+    a pallas grid (each program instance owns LANE_BLOCK independent
+    fragment columns, double-buffered through VMEM).
     """
-    PF, NF = qpos_t.shape
+    PF, NL = qpos_t.shape
+    pad = (-NL) % LANE_BLOCK
+    if pad:
+        qpos_t = jnp.pad(qpos_t, ((0, 0), (0, pad)))
+        rpos_t = jnp.pad(rpos_t, ((0, 0), (0, pad)))
+        meta_t = jnp.pad(meta_t, ((0, 0), (0, pad)))  # meta 0 = invalid
+    nl_padded = NL + pad
+    n_blocks = nl_padded // LANE_BLOCK
+
     kern = functools.partial(
         _dp_kernel, band=cfg.chain_band, anchor_score=cfg.anchor_score,
         gap_scale=cfg.gap_cost_scale, max_gap=cfg.max_gap_length)
     band = cfg.chain_band
-    return pl.pallas_call(
+    block = pl.BlockSpec((PF, LANE_BLOCK), lambda i: (0, i))
+    score, root = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((PF, NF), jnp.float32),
-                   jax.ShapeDtypeStruct((PF, NF), jnp.int32)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        grid=(n_blocks,),
+        out_shape=(jax.ShapeDtypeStruct((PF, nl_padded), jnp.float32),
+                   jax.ShapeDtypeStruct((PF, nl_padded), jnp.int32)),
+        in_specs=[block] * 3,
+        out_specs=(block, block),
         scratch_shapes=[
-            pltpu.VMEM((band, NF), jnp.int32),
-            pltpu.VMEM((band, NF), jnp.int32),
-            pltpu.VMEM((band, NF), jnp.int32),
-            pltpu.VMEM((band, NF), jnp.float32),
-            pltpu.VMEM((band, NF), jnp.int32),
+            pltpu.VMEM((band, LANE_BLOCK), jnp.int32),
+            pltpu.VMEM((band, LANE_BLOCK), jnp.int32),
+            pltpu.VMEM((band, LANE_BLOCK), jnp.int32),
+            pltpu.VMEM((band, LANE_BLOCK), jnp.float32),
+            pltpu.VMEM((band, LANE_BLOCK), jnp.int32),
         ],
     )(qpos_t, rpos_t, meta_t)
+    if pad:
+        score = score[:, :NL]
+        root = root[:, :NL]
+    return score, root

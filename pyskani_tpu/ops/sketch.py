@@ -316,6 +316,87 @@ def sketch_genome_device(
                       lengths=lengths)
 
 
+def sketch_genomes_device(
+    named_contigs: Sequence[tuple],
+    params: SketchParams,
+    seed_budget: int | None = None,
+    marker_budget: int | None = None,
+    length_bucket: int = 1 << 20,
+    max_contigs: int = 256,
+    device_batch: int = 8,
+) -> List["HostSketch"]:
+    """Sketch MANY genomes with vmapped kernel dispatches.
+
+    ``named_contigs`` is a list of (name, [contig bytes...]).  Per-genome
+    dispatch (sketch_genome_device) pays one host->device round trip per
+    genome — significant through a remote device tunnel; this variant
+    stacks up to ``device_batch`` genomes into one [B, L] buffer and runs
+    the kernel once per stack.  All genomes in a stack share the same
+    padded length / budgets (the max over the batch), so callers should
+    group similarly-sized genomes.
+    """
+    items = []
+    for name, contigs in named_contigs:
+        kept = [c for c in contigs if len(c) >= MIN_LENGTH_CONTIG]
+        names = [f"{name}_{i}" for i, c in enumerate(contigs)
+                 if len(c) >= MIN_LENGTH_CONTIG]
+        lengths = [len(c) for c in kept]
+        items.append((name, kept, names, lengths, sum(lengths)))
+
+    out: List[HostSketch] = []
+
+    for lo in range(0, len(items), device_batch):
+        group = items[lo:lo + device_batch]
+        B = len(group)
+        max_total = max(g[4] for g in group)
+        L = max(round_up(max(max_total, 1), length_bucket), length_bucket)
+        sb = seed_budget or seed_budget_for(max_total, params.c)
+        mb = marker_budget or marker_budget_for(max_total, params.marker_c)
+
+        raw = np.zeros((B, L), dtype=np.uint8)
+        starts = np.zeros((B, max_contigs + 1), dtype=np.int32)
+        ncon = np.zeros(B, dtype=np.int32)
+        for b, (_, kept, _, _, _) in enumerate(group):
+            off = 0
+            for i, contig in enumerate(kept):
+                n = len(contig)
+                raw[b, off:off + n] = np.frombuffer(contig, dtype=np.uint8)
+                starts[b, i] = off
+                off += n
+            starts[b, len(kept):] = off
+            ncon[b] = len(kept)
+            if len(kept) > max_contigs:
+                raise ValueError("too many contigs for max_contigs budget")
+
+        kern = functools.partial(
+            sketch_kernel, k=params.k, marker_k=params.marker_k,
+            c=params.c, marker_c=params.marker_c,
+            seed_budget=sb, marker_budget=mb)
+        res = jax.vmap(kern)(jnp.asarray(raw), jnp.asarray(starts),
+                             jnp.asarray(ncon))
+
+        for b, (name, kept, cnames, lengths, total) in enumerate(group):
+            clens = np.zeros(max_contigs, dtype=np.int32)
+            clens[:len(lengths)] = lengths
+            dev = DeviceSketch(
+                kmers=res["kmers"][b], positions=res["positions"][b],
+                contig_ids=res["contig_ids"][b], strands=res["strands"][b],
+                own_mult=res["own_mult"][b],
+                p_positions=res["p_positions"][b],
+                p_contig_ids=res["p_contig_ids"][b],
+                p_own_mult=res["p_own_mult"][b],
+                markers_hi=res["markers_hi"][b],
+                markers_lo=res["markers_lo"][b],
+                n_seeds=res["n_seeds"][b], n_markers=res["n_markers"][b],
+                contig_lengths=jnp.asarray(clens),
+                n_contigs=jnp.int32(len(lengths)),
+                total_len=jnp.int32(total),
+            )
+            out.append(HostSketch(name=name, contig_names=cnames, device=dev,
+                                  lengths=lengths))
+    return out
+
+
 @dataclasses.dataclass
 class HostSketch:
     """A named genome sketch: host metadata + device arrays.

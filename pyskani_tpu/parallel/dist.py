@@ -25,10 +25,17 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, **kw):  # new API: check_rep renamed to check_vma
+        kw.pop("check_rep", None)
+        return _shard_map(f, check_vma=False, **kw)
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
 
 from ..oracle.chain import ChainConfig
-from ..ops.chain import EngineBudgets, chain_pair
+from ..ops.chain import EngineBudgets, chain_pair, chain_pairs
 from ..ops.screen import _shared_count
 from ..ops.sketch import DeviceSketch
 from ..params import MIN_MARKERS_RESCUE
@@ -85,18 +92,22 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
         passes = jax.vmap(screen_one)(qq.reshape(-1), rr.reshape(-1))
         passes = passes.reshape(Rl, Ql)
 
-        # --- phase 2: chain pipeline on every local pair (chunked) ---
-        def one(pair):
-            r = _take(refs, pair[0])
-            q = _take(queries, pair[1])
-            return chain_pair(r, q, cfg=cfg, budgets=budgets)
+        # --- phase 2: chain pipeline on every local pair (chunked; the
+        # DP runs once per chunk with all fragments in lanes) ---
+        def _gather(batch, idx):
+            return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), batch)
+
+        def one_chunk(pair_chunk):
+            r = _gather(refs, pair_chunk[:, 0])
+            q = _gather(queries, pair_chunk[:, 1])
+            return chain_pairs(r, q, cfg=cfg, budgets=budgets)
 
         pairs = jnp.stack([rr.reshape(-1), qq.reshape(-1)], axis=1)
         Ptot = pairs.shape[0]
         pad = (-Ptot) % chunk
         if pad:
             pairs = jnp.concatenate([pairs, jnp.zeros((pad, 2), pairs.dtype)])
-        out = jax.lax.map(jax.vmap(one), pairs.reshape(-1, chunk, 2))
+        out = jax.lax.map(one_chunk, pairs.reshape(-1, chunk, 2))
         out = jax.tree.map(lambda x: x.reshape(-1)[:Ptot].reshape(Rl, Ql), out)
         out["screen_pass"] = passes
         # zero out results screened away (parity with the reference's

@@ -1,4 +1,8 @@
-"""Stage-by-stage timing of the pair pipeline on the current backend."""
+"""Stage-by-stage timing of the BATCHED pair pipeline (chunk of B pairs).
+
+Each stage function is jitted separately and timed cumulatively, so the
+difference between consecutive rows is the cost of the added stage.
+"""
 
 import os
 import sys
@@ -16,93 +20,90 @@ from bench import make_genomes
 from pyskani_tpu.engine.batch import stack_sketches, take_sketch
 from pyskani_tpu.oracle.chain import ChainConfig
 from pyskani_tpu.ops import chain as C
-from pyskani_tpu.ops.sketch import round_up, sketch_genome_device, sketch_kernel
+from pyskani_tpu.ops.sketch import round_up, sketch_genomes_device
 from pyskani_tpu.params import SketchParams
 
-N = 4
+B = int(os.environ.get("PROF_CHUNK", "8"))
 LEN = 2_300_000
 params = SketchParams()
-genomes = make_genomes(N, LEN)
+genomes = make_genomes(B + 1, LEN)
+
+t0 = time.time()
+sketches = sketch_genomes_device(
+    [(f"g{i}", [g]) for i, g in enumerate(genomes)], params)
+jax.block_until_ready(sketches[-1].device.kmers)
+print(f"{'sketch_genomes (batched, w/ compile)':44s} "
+      f"{(time.time()-t0)*1000:9.1f} ms")
+
+batch = stack_sketches(sketches)
+refs = take_sketch(batch, jnp.arange(1, B + 1))
+qrys = take_sketch(batch, jnp.zeros(B, jnp.int32))
+cfg = ChainConfig()
+nf = round_up(LEN // cfg.fragment_length + 3, 64)
+budgets = C.EngineBudgets(
+    max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
+    max_fragments=nf, max_anchors_per_fragment=512)
+print("budgets:", budgets, " B =", B)
 
 
-def timed(label, fn, *args, reps=3, **kw):
-    out = fn(*args, **kw)
+def timed(label, fn, *args, reps=5):
+    f = jax.jit(fn)
+    out = f(*args)
     jax.block_until_ready(out)
     t0 = time.time()
     for _ in range(reps):
-        out = fn(*args, **kw)
+        out = f(*args)
         jax.block_until_ready(out)
     dt = (time.time() - t0) / reps
-    print(f"{label:38s} {dt*1000:9.1f} ms")
+    print(f"{label:44s} {dt*1000:9.1f} ms   "
+          f"({dt*1000/B:6.2f} ms/pair)")
     return out
 
 
-# ---- sketching breakdown ----
-from pyskani_tpu.oracle.seeding import BYTE_TO_SEQ
+vjoin = jax.vmap(lambda r, q: C._join_anchors(r, q, cfg, budgets))
+timed("join_anchors (vmapped)", lambda r, q: vjoin(r, q), refs, qrys)
 
-t0 = time.time()
-arr = np.frombuffer(genomes[0], np.uint8)
-codes = BYTE_TO_SEQ[arr]
-L = round_up(LEN, 1 << 20)
-codes_p = np.zeros(L, np.uint8); codes_p[:LEN] = codes
-pos = np.full(L, -1, np.int32); pos[:LEN] = np.arange(LEN, dtype=np.int32)
-cid = np.full(L, -1, np.int32); cid[:LEN] = 0
-print(f"{'host encode+pad':38s} {(time.time()-t0)*1000:9.1f} ms")
+vpre = jax.vmap(lambda r, q: C._pre_dp(r, q, cfg, budgets))
+timed("pre_dp = join + packed sort + grid", lambda r, q: vpre(r, q),
+      refs, qrys)
 
-jc = timed("device_put codes", lambda: jax.device_put(codes_p))
-jp = jax.device_put(pos); jcid = jax.device_put(cid)
-jax.block_until_ready([jp, jcid])
 
-sb = round_up(int(LEN / 125 * 1.25) + 1024, 1024)
-mb = round_up(int(LEN / 1000 * 1.35) + 512, 512)
-kern = functools.partial(sketch_kernel, k=15, marker_k=21, c=125,
-                         marker_c=1000, seed_budget=sb, marker_budget=mb)
-timed("sketch_kernel", kern, jc, jp, jcid)
+def upto_dp(r, q):
+    grids, n_anchors = vpre(r, q)
+    Bx, NF, PF = grids["qpos"].shape
+    merged = jax.tree.map(lambda x: x.reshape(Bx * NF, PF), grids)
+    return C._dp_dispatch(merged, cfg, budgets)
 
-sketches = [sketch_genome_device(f"g{i}", [g], params) for i, g in enumerate(genomes)]
-batch = stack_sketches(sketches)
-ref = take_sketch(batch, 0)
-qry = take_sketch(batch, 1)
-cfg = ChainConfig()
-nf = round_up(LEN // cfg.fragment_length + 3, 64)
-budgets = C.EngineBudgets(max_anchors=round_up(batch.kmers.shape[1]*3//2+4096, 8192),
-                          max_fragments=nf, max_anchors_per_fragment=512)
-print("budgets:", budgets)
 
-# ---- chain pipeline stages ----
-@functools.partial(jax.jit, static_argnames=())
-def stage_join(r, q):
-    return C._join_anchors(r, q, cfg, budgets)
+timed("... + merged DP", upto_dp, refs, qrys)
 
-a = timed("join_anchors", stage_join, ref, qry)
 
-@jax.jit
-def stage_sort(r, q):
-    a = C._join_anchors(r, q, cfg, budgets)
-    _, q_frag_offs = C._contig_layout(q, cfg.fragment_length)
-    cid_safe = jnp.clip(a["qcid"], 0, q.contig_lengths.shape[0] - 1)
-    frag = jnp.where(a["valid"], q_frag_offs[cid_safe] + a["qpos"] // cfg.fragment_length,
-                     C.I32_SENTINEL)
-    return jax.lax.sort((frag, a["rcid"], a["rpos"], a["qcid"], a["qpos"],
-                         a["rev"], a["valid"]), num_keys=5, is_stable=True)
+def upto_stats(r, q):
+    grids, n_anchors = vpre(r, q)
+    Bx, NF, PF = grids["qpos"].shape
+    merged = jax.tree.map(lambda x: x.reshape(Bx * NF, PF), grids)
+    scores, roots = C._dp_dispatch(merged, cfg, budgets)
+    scores = scores.reshape(Bx, NF, PF)
+    roots = roots.reshape(Bx, NF, PF)
 
-timed("join+frag+sort", stage_sort, ref, qry)
+    def stats_only(ref, query, grid, sc, ro):
+        # replicate _post_dp up to (and including) the chain-stat scatters
+        NF_, PF_ = sc.shape
+        g = C._unpack_meta(grid)
+        rows = jnp.broadcast_to(jnp.arange(NF_, jnp.int32)[:, None],
+                                (NF_, PF_))
+        v = g["valid"]
+        rootc = jnp.where(v, ro, PF_)
+        c_count = jnp.zeros((NF_, PF_ + 1), jnp.int32).at[rows, rootc].add(
+            v.astype(jnp.int32))[:, :PF_]
+        c_qmin = jnp.full((NF_, PF_ + 1), C.POS_BIG).at[rows, rootc].min(
+            jnp.where(v, g["qpos"], C.POS_BIG))[:, :PF_]
+        return c_count.sum() + c_qmin.min()
 
-@jax.jit
-def stage_grid(r, q):
-    out = stage_sort.__wrapped__(r, q)
-    frag_s = out[0]
-    A = frag_s.shape[0]
-    first = jnp.searchsorted(frag_s, frag_s, side="left")
-    rank = jnp.arange(A, dtype=jnp.int32) - first.astype(jnp.int32)
-    NF, PF = budgets.max_fragments, budgets.max_anchors_per_fragment
-    ok = out[6] & (frag_s < NF) & (rank < PF)
-    row = jnp.where(ok, frag_s, NF)
-    col = jnp.where(ok, rank, PF)
-    g = jnp.full((NF + 1, PF + 1), 0, jnp.int32)
-    return g.at[row, col].set(jnp.where(ok, out[4], 0))
+    return jax.vmap(stats_only)(r, q, grids, scores, roots)
 
-timed("... + rank(searchsorted) + 1 scatter", stage_grid, ref, qry)
 
-full = functools.partial(C.chain_pair, cfg=cfg, budgets=budgets)
-timed("full chain_pair", full, ref, qry)
+timed("... + 2 of 7 chain-stat scatters", upto_stats, refs, qrys)
+
+full = functools.partial(C.chain_pairs, cfg=cfg, budgets=budgets)
+timed("full chain_pairs", lambda r, q: full(r, q), refs, qrys)

@@ -57,3 +57,40 @@ def test_lowercase_and_n():
 @pytest.mark.slow
 def test_ecoli(ecoli_k12):
     _check([ecoli_k12])
+
+
+def test_batched_sketch_matches_single():
+    """sketch_genomes_device (vmapped, one dispatch per stack) must equal
+    the per-genome path exactly."""
+    import numpy as np
+
+    from pyskani_tpu.ops.sketch import (sketch_genome_device,
+                                        sketch_genomes_device)
+    from pyskani_tpu.params import SketchParams
+
+    rng = np.random.default_rng(21)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    genomes = []
+    for i in range(3):
+        n = int(rng.integers(30000, 60000))
+        genomes.append((f"g{i}", [rng.choice(acgt, size=n).tobytes()]))
+    params = SketchParams()
+
+    batched = sketch_genomes_device(genomes, params, device_batch=2)
+    for (name, contigs), got in zip(genomes, batched):
+        # same budgets as the batched group for array-exact comparison
+        want = sketch_genome_device(
+            name, contigs, params,
+            seed_budget=got.device.seed_budget,
+            marker_budget=got.device.marker_budget)
+        assert got.name == want.name
+        assert int(got.device.n_seeds) == int(want.device.n_seeds)
+        n = int(want.device.n_seeds)
+        np.testing.assert_array_equal(np.asarray(got.device.kmers[:n]),
+                                      np.asarray(want.device.kmers[:n]))
+        np.testing.assert_array_equal(np.asarray(got.device.positions[:n]),
+                                      np.asarray(want.device.positions[:n]))
+        m = int(want.device.n_markers)
+        assert int(got.device.n_markers) == m
+        np.testing.assert_array_equal(np.asarray(got.device.markers_lo[:m]),
+                                      np.asarray(want.device.markers_lo[:m]))
