@@ -28,7 +28,7 @@ SINGLE_CORE_SKANI_PAIRS_PER_S = 30.0  # documented estimate (BENCH_NOTES.md)
 
 N_GENOMES = int(os.environ.get("BENCH_GENOMES", "32"))
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", str(2_300_000)))
-CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
 
 
 def make_genomes(n, length, seed=0):
@@ -47,7 +47,7 @@ def make_genomes(n, length, seed=0):
 def main():
     import jax
 
-    from pyskani_tpu.engine.batch import pairs_ani, stack_sketches
+    from pyskani_tpu.engine.batch import stack_sketches
     from pyskani_tpu.oracle.chain import ChainConfig
     from pyskani_tpu.ops.chain import EngineBudgets
     from pyskani_tpu.ops.sketch import round_up, sketch_genomes_device
@@ -69,7 +69,12 @@ def main():
     jax.block_until_ready(warm[-1].device.kmers)
     sketch_mbps = 8 * GENOME_LEN / (time.time() - t0) / 1e6
 
-    # --- all-vs-all triangle ---
+    # --- all-vs-all triangle, decomposed into block joins ---
+    import jax.numpy as jnp
+
+    from pyskani_tpu.engine.batch import take_sketch
+    from pyskani_tpu.ops.chain import chain_block
+
     cfg = ChainConfig()
     batch = stack_sketches(sketches)
     nf = round_up(max(s.n_fragments(cfg.fragment_length)
@@ -79,14 +84,33 @@ def main():
         max_fragments=nf,
         max_anchors_per_fragment=512)
     ri, qi = np.triu_indices(N_GENOMES, k=1)
-    ri = np.ascontiguousarray(ri)
-    qi = np.ascontiguousarray(qi)
     n_pairs = len(ri)
 
+    # shared anchor pool per tile: ~pair count x typical anchors/pair
+    # (seed count bounds the anchors of a non-repetitive pair)
+    app = round_up(batch.kmers.shape[1] * 3 // 4, 1024)
+    total_anchors = round_up(BLOCK * BLOCK * app, 8192)
+    tiles = []
+    for bi in range(0, N_GENOMES, BLOCK):
+        for bj in range(0, N_GENOMES, BLOCK):
+            if bj + BLOCK <= bi:
+                continue
+            ridx = np.arange(bi, min(bi + BLOCK, N_GENOMES))
+            qidx = np.arange(bj, min(bj + BLOCK, N_GENOMES))
+            rpad = np.concatenate([ridx, np.zeros(BLOCK - len(ridx), int)])
+            qpad = np.concatenate([qidx, np.zeros(BLOCK - len(qidx), int)])
+            tiles.append((ridx, qidx,
+                          take_sketch(batch, jnp.asarray(rpad)),
+                          take_sketch(batch, jnp.asarray(qpad))))
+
     def run():
-        out = pairs_ani(batch, ri, qi, cfg=cfg, budgets=budgets, chunk=CHUNK)
-        jax.block_until_ready(out)
-        return out
+        ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
+        for ridx, qidx, r, q in tiles:
+            out = chain_block(r, q, cfg=cfg, budgets=budgets,
+                              total_anchors=total_anchors)
+            ani[np.ix_(ridx, qidx)] = \
+                np.asarray(out["ani_mean"])[:len(ridx), :len(qidx)]
+        return {"ani_mean": ani[ri, qi]}
 
     t0 = time.time()
     out = run()  # compile + first run

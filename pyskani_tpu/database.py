@@ -300,7 +300,8 @@ class Database:
         budgets = self._budgets_for(query, None)
         with profiling.scope("chain"):
             out = one_vs_many(stack, qpad, idx, cfg=self._chain_cfg,
-                              budgets=budgets, chunk=min(8, max(1, len(idx))))
+                              budgets=budgets,
+                              chunk=min(16, max(1, len(idx))))
         if profiling.enabled():
             profiling.stats().add("pairs_chained", len(shortlist))
         key = "ani_median" if median else \

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle.chain import ChainConfig
-from ..ops.chain import EngineBudgets, chain_pair, chain_pairs
+from ..ops.chain import EngineBudgets, chain_block, chain_pair, chain_pairs
 from ..ops.sketch import DeviceSketch, HostSketch, round_up
 
 
@@ -109,14 +109,16 @@ def one_vs_many(refs: DeviceSketch, query: DeviceSketch, ref_idx: jax.Array,
 
     ``refs`` is the stacked (possibly db-sharded) reference store; the
     query sketch stays separate so the store is transferred/stacked once
-    per database, not per query.  Returns dict of [len(ref_idx)] arrays.
+    per database, not per query.  Chunks of ``chunk`` references run as
+    one block join (one sort + one DP per chunk).  Returns dict of
+    [len(ref_idx)] arrays.
     """
-    q_tiled = jax.tree.map(
-        lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), query)
+    q1 = jax.tree.map(lambda x: x[None], query)
 
     def one_chunk(idx_chunk):
         r = take_sketch(refs, idx_chunk)
-        return chain_pairs(r, q_tiled, cfg=cfg, budgets=budgets)
+        out = chain_block(r, q1, cfg=cfg, budgets=budgets)
+        return jax.tree.map(lambda x: x[:, 0], out)
 
     P = ref_idx.shape[0]
     pad = (-P) % chunk
@@ -126,9 +128,25 @@ def one_vs_many(refs: DeviceSketch, query: DeviceSketch, ref_idx: jax.Array,
     return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
 
 
+def default_budgets(sketches: List[HostSketch], batch: DeviceSketch,
+                    cfg: ChainConfig) -> EngineBudgets:
+    fl = cfg.fragment_length
+    nf = round_up(max(s.n_fragments(fl) for s in sketches) + 2, 128)
+    return EngineBudgets(
+        max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
+        max_fragments=nf,
+        max_anchors_per_fragment=512)
+
+
 def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
-             budgets: EngineBudgets | None = None, chunk: int = 8):
+             budgets: EngineBudgets | None = None, block: int = 16,
+             anchors_per_pair: int | None = None):
     """All-vs-all ANI over a genome set (reference `skani triangle` mode).
+
+    Decomposed into [block x block] chain_block tiles covering the upper
+    triangle: each tile is one join sort + one DP for block^2 pairs.
+    ``anchors_per_pair`` sizes the tile's shared anchor pool (default:
+    the per-pair budget — exact chain_pairs parity at higher memory).
 
     Returns (ref_idx, query_idx, results-dict of numpy arrays) over the
     N(N-1)/2 unordered pairs.
@@ -137,13 +155,30 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
     n = len(sketches)
     batch = stack_sketches(sketches)
     if budgets is None:
-        fl = cfg.fragment_length
-        nf = round_up(max(s.n_fragments(fl) for s in sketches) + 2, 128)
-        budgets = EngineBudgets(
-            max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
-            max_fragments=nf,
-            max_anchors_per_fragment=512)
+        budgets = default_budgets(sketches, batch, cfg)
+    block = min(block, n)
+    app = anchors_per_pair or budgets.max_anchors
+    total_anchors = round_up(block * block * app, 8192)
+
+    mats = {}
+    for bi in range(0, n, block):           # ref rows
+        for bj in range(0, n, block):       # query cols
+            if bj + block <= bi:
+                continue                    # tile entirely below diagonal
+            ridx = np.arange(bi, min(bi + block, n))
+            qidx = np.arange(bj, min(bj + block, n))
+            rpad = np.concatenate([ridx, np.zeros(block - len(ridx),
+                                                  np.int64)])
+            qpad = np.concatenate([qidx, np.zeros(block - len(qidx),
+                                                  np.int64)])
+            out = chain_block(take_sketch(batch, jnp.asarray(rpad)),
+                              take_sketch(batch, jnp.asarray(qpad)),
+                              cfg=cfg, budgets=budgets,
+                              total_anchors=total_anchors)
+            for key, val in out.items():
+                arr = np.asarray(val)[:len(ridx), :len(qidx)]
+                if key not in mats:
+                    mats[key] = np.zeros((n, n), arr.dtype)
+                mats[key][np.ix_(ridx, qidx)] = arr
     ri, qi = np.triu_indices(n, k=1)
-    out = pairs_ani(batch, jnp.asarray(ri), jnp.asarray(qi),
-                    cfg=cfg, budgets=budgets, chunk=chunk)
-    return ri, qi, {k: np.asarray(v) for k, v in out.items()}
+    return ri, qi, {k: v[ri, qi] for k, v in mats.items()}

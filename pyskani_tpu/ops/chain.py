@@ -501,6 +501,193 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     return out
 
 
+def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
+                total_anchors: int):
+    """Anchors for EVERY (ref genome, query genome) pair in ONE sort.
+
+    The per-pair join (_join_anchors) pays a stream sort per pair; here
+    the G_r ref seed tables and G_q query seed tables go into a single
+    tagged stream, and every query occurrence expands against the whole
+    ref run — which contains the matching occurrences of ALL ref genomes,
+    each carrying its genome id.  The per-pair multiplicity cap
+    (rc <= max_seed_multiplicity) is applied by pre-masking seeds whose
+    own within-genome multiplicity exceeds the cap: a k-mer's run length
+    within one genome IS its multiplicity there, so dropping over-cap
+    seeds up front removes exactly the runs the per-pair join rejects.
+    """
+    G_r, Sr = refs.kmers.shape
+    G_q, Sq = queries.kmers.shape
+    cap = cfg.max_seed_multiplicity
+    SENT = jnp.uint32(0xFFFFFFFF)
+    r_kmers = jnp.where(refs.own_mult <= cap, refs.kmers, SENT).reshape(-1)
+    q_kmers = jnp.where(queries.own_mult <= cap, queries.kmers,
+                        SENT).reshape(-1)
+    NR = G_r * Sr
+    NQ = G_q * Sq
+    assert NR < (1 << 30) and NQ < (1 << 30)
+    n = NR + NQ
+    kmer = jnp.concatenate([r_kmers, q_kmers])
+    packed = jnp.concatenate([
+        jnp.arange(NR, dtype=jnp.int32),
+        jnp.arange(NQ, dtype=jnp.int32) | jnp.int32(1 << 30),
+    ])
+    kmer_s, packed_s = jax.lax.sort((kmer, packed), num_keys=2)
+    tag_q = packed_s >= (1 << 30)
+    orig = packed_s & jnp.int32((1 << 30) - 1)
+
+    i = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), kmer_s[1:] != kmer_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, i, 0))
+    r_excl = jnp.cumsum((~tag_q).astype(jnp.int32)) - (~tag_q).astype(jnp.int32)
+    rc = jnp.where(tag_q, r_excl - r_excl[run_start], 0).astype(jnp.int32)
+    is_sent = kmer_s == SENT
+    ok = tag_q & (~is_sent) & (rc > 0)
+    counts = jnp.where(ok, rc, 0)
+    offs = jnp.cumsum(counts) - counts
+    total = jnp.minimum(offs[-1] + counts[-1], total_anchors)
+
+    A = total_anchors
+    t = jnp.arange(A, dtype=jnp.int32)
+    slot0 = jnp.where(ok, offs, A)
+    src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
+    src = jax.lax.cummax(src_map[:A])
+    j = t - offs[src]
+    a_valid = t < total
+    qf = orig[src]                                   # flat query seed index
+    r_sorted_idx = jnp.minimum(run_start[src] + j, n - 1)
+    rf = jnp.minimum(orig[r_sorted_idx], NR - 1)     # flat ref seed index
+    qi = qf // Sq
+    g = rf // Sr
+
+    qpos = queries.positions.reshape(-1)[qf]
+    qcid = queries.contig_ids.reshape(-1)[qf]
+    rpos = refs.positions.reshape(-1)[rf]
+    rcid = refs.contig_ids.reshape(-1)[rf]
+    rev = queries.strands.reshape(-1)[qf] != refs.strands.reshape(-1)[rf]
+    return dict(
+        qpos=jnp.where(a_valid, qpos, I32_SENTINEL),
+        qcid=jnp.where(a_valid, qcid, I32_SENTINEL),
+        rpos=jnp.where(a_valid, rpos, I32_SENTINEL),
+        rcid=jnp.where(a_valid, rcid, I32_SENTINEL),
+        rev=rev,
+        valid=a_valid,
+        qi=jnp.where(a_valid, qi, 0),
+        pair=jnp.where(a_valid, g * G_q + qi, (1 << 30)),  # row-major [Gr,Gq]
+        n_anchors=total,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "budgets", "total_anchors"))
+def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
+                cfg: ChainConfig, budgets: EngineBudgets,
+                total_anchors: int | None = None):
+    """All-pairs [G_r x G_q] pipeline with ONE join sort and ONE DP.
+
+    ``refs``/``queries`` are stacked DeviceSketch pytrees.  All
+    G_r*G_q*NF fragment rows go through the chain DP as lanes of a
+    single kernel; per-pair statistics are vmapped.  Returns a dict of
+    [G_r, G_q] arrays.
+
+    ``total_anchors`` is the anchor budget for the WHOLE block (default:
+    per-pair budget x number of pairs, matching chain_pairs exactly as
+    long as no single pair overflows its share of the shared pool).
+    """
+    _check_supported(cfg)
+    fl = cfg.fragment_length
+    NF = budgets.max_fragments
+    PF = budgets.max_anchors_per_fragment
+    G_r = refs.kmers.shape[0]
+    G_q = queries.kmers.shape[0]
+    P = G_r * G_q
+    if P * NF > (1 << 17):
+        raise ValueError(f"block too large: pairs*max_fragments = {P * NF} "
+                         f"exceeds 2^17 (shrink the block or fragments)")
+    if total_anchors is None:
+        total_anchors = P * budgets.max_anchors
+    C = queries.contig_lengths.shape[1]
+
+    q_starts, q_frag_offs = jax.vmap(
+        lambda q: _contig_layout(q, fl))(queries)        # [G_q, C+1]
+    a = _block_join(refs, queries, cfg, total_anchors)
+
+    cid_safe = jnp.clip(a["qcid"], 0, C - 1)
+    flat_idx = a["qi"] * (C + 1) + cid_safe
+    frag = q_frag_offs.reshape(-1)[flat_idx] + a["qpos"] // fl
+    gq = q_starts.reshape(-1)[flat_idx] + a["qpos"]
+    valid = a["valid"] & (frag < NF)
+    rowid = a["pair"] * NF + frag                        # < 2^17
+
+    k1 = jnp.where(valid, (rowid << 14) | a["rcid"], POS_BIG)
+    k2 = jnp.where(valid, a["rpos"], POS_BIG)
+    payload = jnp.where(
+        valid,
+        (gq.astype(jnp.uint32) << 2) | (a["rev"].astype(jnp.uint32) << 1)
+        | jnp.uint32(1),
+        jnp.uint32(0xFFFFFFFC))
+    k1, k2, payload = jax.lax.sort((k1, k2, payload), num_keys=3)
+
+    valid_s = (payload & 1) == 1
+    rev_s = (payload & 2) == 2
+    gq_s = (payload >> 2).astype(jnp.int32)
+    rowid_s = jnp.where(valid_s, k1 >> 14, I32_SENTINEL)
+    rcid_s = k1 & 0x3FFF
+    rpos_s = k2
+    pair_s = jnp.clip(rowid_s // NF, 0, P - 1)
+    frag_s = rowid_s - pair_s * NF
+    qi_s = pair_s % G_q
+    # fragment -> query contig lookup per query genome
+    frag_ids = jnp.arange(NF, dtype=jnp.int32)
+    frag_cid_tab = jnp.clip(
+        (jax.vmap(lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
+            q_frag_offs) - 1).astype(jnp.int32), 0, C - 1)  # [G_q, NF]
+    qcid_s = frag_cid_tab.reshape(-1)[
+        qi_s * NF + jnp.clip(frag_s, 0, NF - 1)]
+    qpos_s = gq_s - q_starts.reshape(-1)[qi_s * (C + 1) + qcid_s]
+
+    A = rowid_s.shape[0]
+    ii = jnp.arange(A, dtype=jnp.int32)
+    row_first = jnp.concatenate([jnp.ones(1, bool),
+                                 rowid_s[1:] != rowid_s[:-1]])
+    rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
+    ok = valid_s & (rowid_s < P * NF) & (rank < PF)
+    row = jnp.where(ok, rowid_s, P * NF)
+    col = jnp.where(ok, rank, PF)
+
+    def grid_of(vals, fill):
+        g = jnp.full((P * NF + 1, PF + 1), fill, vals.dtype)
+        g = g.at[row, col].set(jnp.where(ok, vals, fill))
+        return g[:P * NF, :PF]
+
+    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
+        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
+    meta = jnp.where(ok, meta, 0)
+    merged = {
+        "qpos": grid_of(qpos_s, I32_SENTINEL),
+        "rpos": grid_of(rpos_s, I32_SENTINEL),
+        "meta": grid_of(meta, 0),
+    }
+
+    scores, roots = _dp_dispatch(merged, cfg, budgets)
+
+    grids = jax.tree.map(lambda x: x.reshape(P, NF, PF), merged)
+    scores = scores.reshape(P, NF, PF)
+    roots = roots.reshape(P, NF, PF)
+    refs_rep = jax.tree.map(
+        lambda x: jnp.repeat(x, G_q, axis=0), refs)      # pair p = g*G_q+qi
+    qrys_rep = jax.tree.map(
+        lambda x: jnp.tile(x, (G_r,) + (1,) * (x.ndim - 1)), queries)
+    out = jax.vmap(
+        lambda r, q, g, s, ro: _post_dp(r, q, g, s, ro, cfg, budgets))(
+        refs_rep, qrys_rep, grids, scores, roots)
+    # per-pair anchor counts
+    pair_clip = jnp.where(a["valid"], a["pair"], P)
+    n_anchors = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
+        a["valid"].astype(jnp.int32))[:P]
+    out["n_anchors"] = n_anchors
+    return jax.tree.map(lambda x: x.reshape((G_r, G_q) + x.shape[1:]), out)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "budgets"))
 def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
                cfg: ChainConfig, budgets: EngineBudgets):

@@ -35,7 +35,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..oracle.chain import ChainConfig
-from ..ops.chain import EngineBudgets, chain_pair, chain_pairs
+from ..ops.chain import EngineBudgets, chain_block, chain_pair, chain_pairs
 from ..ops.screen import _shared_count
 from ..ops.sketch import DeviceSketch
 from ..params import MIN_MARKERS_RESCUE
@@ -92,23 +92,24 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
         passes = jax.vmap(screen_one)(qq.reshape(-1), rr.reshape(-1))
         passes = passes.reshape(Rl, Ql)
 
-        # --- phase 2: chain pipeline on every local pair (chunked; the
-        # DP runs once per chunk with all fragments in lanes) ---
+        # --- phase 2: all local pairs via block joins (one sort + one
+        # DP per ref-chunk x all local queries) ---
         def _gather(batch, idx):
             return jax.tree.map(lambda x: jnp.take(x, idx, axis=0), batch)
 
-        def one_chunk(pair_chunk):
-            r = _gather(refs, pair_chunk[:, 0])
-            q = _gather(queries, pair_chunk[:, 1])
-            return chain_pairs(r, q, cfg=cfg, budgets=budgets)
+        # ref-chunk size bounded so pairs*max_fragments fits the packed
+        # sort key budget (chain_block requires P*NF <= 2^17)
+        cr = max(1, min(Rl, (1 << 17) // (budgets.max_fragments * Ql)))
+        rpad = (-Rl) % cr
+        ridx = jnp.arange(Rl + rpad, dtype=jnp.int32) % Rl
 
-        pairs = jnp.stack([rr.reshape(-1), qq.reshape(-1)], axis=1)
-        Ptot = pairs.shape[0]
-        pad = (-Ptot) % chunk
-        if pad:
-            pairs = jnp.concatenate([pairs, jnp.zeros((pad, 2), pairs.dtype)])
-        out = jax.lax.map(one_chunk, pairs.reshape(-1, chunk, 2))
-        out = jax.tree.map(lambda x: x.reshape(-1)[:Ptot].reshape(Rl, Ql), out)
+        def one_chunk(idx_chunk):
+            r = _gather(refs, idx_chunk)
+            return chain_block(r, queries, cfg=cfg, budgets=budgets)
+
+        out = jax.lax.map(one_chunk, ridx.reshape(-1, cr))
+        out = jax.tree.map(
+            lambda x: x.reshape((-1, Ql) + x.shape[3:])[:Rl], out)
         out["screen_pass"] = passes
         # zero out results screened away (parity with the reference's
         # shortlist: unscreened pairs are never chained, lib.rs:639-657)
