@@ -42,6 +42,14 @@ def _add_query_params(p):
                    default="auto")
     p.add_argument("--min-af", type=float, default=15.0,
                    help="minimum aligned fraction (percent) to report")
+    p.add_argument("--ci", action="store_true",
+                   help="report [5%%, 95%%] percentile-bootstrap ANI "
+                        "confidence intervals (extra output columns)")
+    p.add_argument("-o", "--output-file", default=None,
+                   help="write results to this file instead of stdout")
+    p.add_argument("-n", "--max-results", type=int, default=1_000_000_000,
+                   help="keep at most this many hits per query "
+                        "(best ANI first)")
 
 
 def _learned(val):
@@ -54,14 +62,39 @@ def _screen_val(s):
     return s / 100.0 if s > 1.0 else s
 
 
-def _header(out):
-    out.write("Ref_file\tQuery_file\tANI\tAlign_fraction_ref\t"
-              "Align_fraction_query\n")
+def _header(out, ci=False):
+    cols = "Ref_file\tQuery_file\tANI\tAlign_fraction_ref\t" \
+           "Align_fraction_query"
+    if ci:
+        cols += "\tANI_5_percentile\tANI_95_percentile"
+    out.write(cols + "\n")
 
 
-def _emit(out, ref_name, query_name, ani, af_r, af_q):
-    out.write(f"{ref_name}\t{query_name}\t{100*ani:.2f}\t"
-              f"{100*af_r:.2f}\t{100*af_q:.2f}\n")
+def _emit(out, ref_name, query_name, ani, af_r, af_q, ci=None):
+    row = (f"{ref_name}\t{query_name}\t{100*ani:.2f}\t"
+           f"{100*af_r:.2f}\t{100*af_q:.2f}")
+    if ci is not None:
+        row += f"\t{100*ci[0]:.2f}\t{100*ci[1]:.2f}"
+    out.write(row + "\n")
+
+
+class _out_stream:
+    """Context manager: ``-o FILE`` or stdout (skani's out_file_name)."""
+
+    def __init__(self, path):
+        self._path = path
+        self._fh = None
+
+    def __enter__(self):
+        if self._path is None:
+            return sys.stdout
+        self._fh = open(self._path, "w")
+        return self._fh
+
+    def __exit__(self, *exc):
+        if self._fh is not None:
+            self._fh.close()
+        return False
 
 
 def _genome_records(paths: List[str]):
@@ -93,22 +126,34 @@ def cmd_sketch(args) -> int:
     return 0
 
 
+def _run_queries(db, args, out) -> None:
+    """Query each input genome and emit filtered, capped hit rows."""
+    _header(out, ci=args.ci)
+    for qname, qcontigs in _genome_records(args.queries):
+        hits = db.query(qname, *qcontigs, median=args.median,
+                        robust=args.robust, cutoff=_screen_val(args.screen),
+                        faster_small=args.faster_small,
+                        learned_ani=_learned(args.learned_ani),
+                        est_ci=args.ci)
+        hits = [h for h in hits
+                if max(h.query_fraction,
+                       h.reference_fraction) * 100 >= args.min_af]
+        # max_results cap, best ANI first (CommandParams.max_results;
+        # the reference pins it to 1e9, lib.rs:585)
+        hits.sort(key=lambda h: -h.identity)
+        for h in hits[:args.max_results]:
+            ci = (h.ci_low, h.ci_high) if args.ci else None
+            _emit(out, h.reference_name, h.query_name, h.identity,
+                  h.reference_fraction, h.query_fraction, ci)
+
+
 def cmd_dist(args) -> int:
     from .database import Database
     db = Database(compression=args.compression,
                   marker_compression=args.marker_compression, k=args.k)
     db.sketch_many(_genome_records(args.refs))
-    _header(sys.stdout)
-    for qname, qcontigs in _genome_records(args.queries):
-        hits = db.query(qname, *qcontigs, median=args.median,
-                        robust=args.robust, cutoff=_screen_val(args.screen),
-                        faster_small=args.faster_small,
-                        learned_ani=_learned(args.learned_ani))
-        for h in hits:
-            if max(h.query_fraction, h.reference_fraction) * 100 < args.min_af:
-                continue
-            _emit(sys.stdout, h.reference_name, h.query_name, h.identity,
-                  h.reference_fraction, h.query_fraction)
+    with _out_stream(args.output_file) as out:
+        _run_queries(db, args, out)
     return 0
 
 
@@ -116,24 +161,16 @@ def cmd_search(args) -> int:
     from .database import Database
     db = Database.open(args.database) if not args.preload \
         else Database.load(args.database)
-    _header(sys.stdout)
-    for qname, qcontigs in _genome_records(args.queries):
-        hits = db.query(qname, *qcontigs, median=args.median,
-                        robust=args.robust, cutoff=_screen_val(args.screen),
-                        faster_small=args.faster_small,
-                        learned_ani=_learned(args.learned_ani))
-        for h in hits:
-            if max(h.query_fraction, h.reference_fraction) * 100 < args.min_af:
-                continue
-            _emit(sys.stdout, h.reference_name, h.query_name, h.identity,
-                  h.reference_fraction, h.query_fraction)
+    with _out_stream(args.output_file) as out:
+        _run_queries(db, args, out)
     return 0
 
 
 def cmd_triangle(args) -> int:
-    import numpy as np
+    import dataclasses
 
     from .engine.batch import triangle
+    from .oracle.chain import ChainConfig
     from .ops.sketch import sketch_genomes_device
     from .params import SketchParams
 
@@ -142,17 +179,41 @@ def cmd_triangle(args) -> int:
     named = list(_genome_records(args.genomes))
     sketches = sketch_genomes_device(named, params)
     names = [s.name for s in sketches]
-    ri, qi, out = triangle(sketches)
+    cfg = ChainConfig(est_ci=True) if args.ci else ChainConfig()
+    ri, qi, out = triangle(sketches, cfg=cfg)
     key = "ani_median" if args.median else \
         "ani_robust" if args.robust else "ani_mean"
-    _header(sys.stdout)
-    for i in range(len(ri)):
-        ani = float(out[key][i])
-        af_q = float(out["af_query"][i])
-        af_r = float(out["af_ref"][i])
-        if ani <= 0.1 or max(af_q, af_r) * 100 < args.min_af:
-            continue
-        _emit(sys.stdout, names[ri[i]], names[qi[i]], ani, af_r, af_q)
+
+    with _out_stream(args.output_file) as fh:
+        if args.full_matrix:
+            # PHYLIP-style lower-triangular matrix (skani triangle's
+            # default output; this CLI defaults to the sparse TSV form,
+            # skani's -E/--sparse, which suits pipeline use better)
+            vals = {}
+            for i in range(len(ri)):
+                v = float(out[key][i])
+                v = 100.0 - 100.0 * v if args.distance else 100.0 * v
+                vals[(max(ri[i], qi[i]), min(ri[i], qi[i]))] = v
+            diag = 0.0 if args.distance else 100.0
+            fh.write(f"{len(names)}\n")
+            for i, name in enumerate(names):
+                row = [name]
+                row += [f"{vals.get((i, j), 0.0):.2f}" for j in range(i)]
+                row.append(f"{diag:.2f}")
+                fh.write("\t".join(row) + "\n")
+            return 0
+        _header(fh, ci=args.ci)
+        for i in range(len(ri)):
+            ani = float(out[key][i])
+            af_q = float(out["af_query"][i])
+            af_r = float(out["af_ref"][i])
+            if ani <= 0.1 or max(af_q, af_r) * 100 < args.min_af:
+                continue
+            if args.distance:
+                ani = 1.0 - ani
+            ci = (float(out["ani_ci_low"][i]),
+                  float(out["ani_ci_high"][i])) if args.ci else None
+            _emit(fh, names[ri[i]], names[qi[i]], ani, af_r, af_q, ci)
     return 0
 
 
@@ -187,6 +248,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     p = sub.add_parser("triangle", help="all-vs-all ANI (lower triangle)")
     p.add_argument("genomes", nargs="+")
+    p.add_argument("--full-matrix", action="store_true",
+                   help="PHYLIP-style lower-triangular matrix output "
+                        "(skani triangle's default form)")
+    p.add_argument("--distance", action="store_true",
+                   help="output distance (100 - ANI) instead of ANI")
+    p.add_argument("-E", "--sparse", action="store_true",
+                   help="sparse TSV edge list (this CLI's default; flag "
+                        "kept for skani compatibility)")
     _add_sketch_params(p)
     _add_query_params(p)
     p.set_defaults(func=cmd_triangle)

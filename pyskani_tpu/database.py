@@ -254,8 +254,15 @@ class Database:
     def query(self, name: str, *contigs: _Sequence, seed: bool = True,
               learned_ani: Optional[bool] = None, median: bool = False,
               robust: bool = False, cutoff: Optional[float] = None,
-              faster_small: bool = False) -> List[Hit]:
-        """Query the database with a genome (reference lib.rs:512-660)."""
+              faster_small: bool = False, est_ci: bool = False) -> List[Hit]:
+        """Query the database with a genome (reference lib.rs:512-660).
+
+        ``est_ci=True`` additionally computes a [5%, 95%]
+        percentile-bootstrap confidence interval on the ANI (skani's
+        --ci / CommandParams.est_ci; the reference fixes est_ci to its
+        default-off value, lib.rs:592) and populates ``Hit.ci_low`` /
+        ``Hit.ci_high``.
+        """
         data = [_as_bytes(c) for c in contigs]
         with profiling.scope("sketch"):
             query = sketch_genome_device(name, data, self._params)
@@ -298,8 +305,12 @@ class Database:
         qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
                             max(mbucket, query.device.marker_budget))
         budgets = self._budgets_for(query, None)
+        cfg = self._chain_cfg
+        if est_ci:
+            import dataclasses
+            cfg = dataclasses.replace(cfg, est_ci=True)
         with profiling.scope("chain"):
-            out = one_vs_many(stack, qpad, idx, cfg=self._chain_cfg,
+            out = one_vs_many(stack, qpad, idx, cfg=cfg,
                               budgets=budgets,
                               chunk=min(16, max(1, len(idx))))
         if profiling.enabled():
@@ -317,8 +328,13 @@ class Database:
             if af_q < maf and af_r < maf:
                 continue
             if ani > MIN_ANI_KEEP:
+                ci = {}
+                if est_ci:
+                    clamp = lambda v: min(max(float(v), 0.0), 1.0)
+                    ci = dict(ci_low=clamp(out["ani_ci_low"][i]),
+                              ci_high=clamp(out["ani_ci_high"][i]))
                 hits.append(Hit(min(max(ani, 0.0), 1.0), name, af_q,
-                                ref_name, af_r))
+                                ref_name, af_r, **ci))
         return hits
 
     # -- persistence ------------------------------------------------------

@@ -464,7 +464,7 @@ def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
         jnp.maximum(ref.total_len.astype(jnp.float32), 1.0)
 
     no_cov = n_cov == 0
-    return dict(
+    out = dict(
         ani_mean=jnp.where(no_cov, 0.0, mean),
         ani_robust=jnp.where(no_cov, 0.0, robust),
         ani_median=jnp.where(no_cov, 0.0, med),
@@ -472,6 +472,24 @@ def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
         af_ref=af_r,
         n_fragments=n_cov,
     )
+
+    if cfg.est_ci:
+        # percentile bootstrap on the fragment ANIs (skani --ci /
+        # CommandParams.est_ci, SURVEY §2 S1): resample n_cov covered
+        # fragments with replacement, take the [5%, 95%] quantiles of the
+        # resampled means.  Fixed key -> deterministic, shard-invariant.
+        R = cfg.ci_iterations
+        key = jax.random.PRNGKey(1539)
+        idx = jax.random.randint(key, (R, NF), 0, jnp.maximum(n_cov, 1))
+        cols = jnp.arange(NF, dtype=jnp.int32)[None, :] < n_cov
+        boot = jnp.sum(jnp.where(cols, s[idx], 0.0), axis=1) / \
+            jnp.maximum(n_cov.astype(jnp.float32), 1.0)
+        boot_s = jnp.sort(boot)
+        ci_lo = _interp_quantile(boot_s, jnp.int32(R), 0.05)
+        ci_hi = _interp_quantile(boot_s, jnp.int32(R), 0.95)
+        out["ani_ci_low"] = jnp.where(no_cov, 0.0, ci_lo)
+        out["ani_ci_high"] = jnp.where(no_cov, 0.0, ci_hi)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "budgets"))

@@ -62,6 +62,10 @@ class ChainConfig:
                                          # repetitive k-mers from the seed count
     denom_mask_mult: int = 12            # multiplicity threshold for the
                                          # denominator mask (0 = same as anchors)
+    est_ci: bool = False                 # percentile-bootstrap [5%,95%] CI on
+                                         # the mean ANI (skani --ci /
+                                         # CommandParams.est_ci, SURVEY §2 S1)
+    ci_iterations: int = 100             # bootstrap resamples when est_ci
 
 
 @dataclasses.dataclass
