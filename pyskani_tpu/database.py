@@ -65,6 +65,15 @@ class Sketch:
         return self._amino_acid
 
 
+def _pow2_chunk(n: int, cap: int = 16) -> int:
+    """Bucket a chunk size to a power of two so jit shapes are stable
+    across queries with different shortlist lengths."""
+    p = 1
+    while p < min(max(n, 1), cap):
+        p *= 2
+    return p
+
+
 class Database:
     """A database storing sketched genomes.
 
@@ -293,26 +302,49 @@ class Database:
         shortlist = sorted({os.path.basename(self._markers[i].name)
                             for i in np.nonzero(passes)[0]})
 
-        # phase 2 — batched chain pipeline over the shortlist: the whole
-        # reference store is a stacked device tensor (cached; transferred
-        # once per database) and one dispatch chains every shortlisted
-        # pair (the reference loops pair-by-pair instead, lib.rs:639-657)
+        # phase 2 — batched chain pipeline over the shortlist.  In-memory
+        # stores keep the whole reference set as one cached device tensor
+        # and chain every shortlisted pair in one dispatch; disk-backed
+        # stores stream ONLY the shortlisted sketches through the device
+        # in double-buffered chunks, so memory stays bounded and the
+        # lazy `open()` contract holds (the reference instead loads each
+        # sketch serially inside the pair loop, lib.rs:639-657).
         maf = D_FRAC_COVER_CUTOFF
         from .engine.batch import one_vs_many, repad_sketch
 
-        names_all, stack, bucket, mbucket = self._ref_stack()
-        idx = np.array([names_all.index(rn) for rn in shortlist], np.int32)
-        qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
-                            max(mbucket, query.device.marker_budget))
         budgets = self._budgets_for(query, None)
         cfg = self._chain_cfg
         if est_ci:
             import dataclasses
             cfg = dataclasses.replace(cfg, est_ci=True)
-        with profiling.scope("chain"):
-            out = one_vs_many(stack, qpad, idx, cfg=cfg,
-                              budgets=budgets,
-                              chunk=min(16, max(1, len(idx))))
+        if isinstance(self._storage, MemoryStorage):
+            names_all, stack, bucket, mbucket = self._ref_stack()
+            idx = np.array([names_all.index(rn) for rn in shortlist],
+                           np.int32)
+            qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
+                                max(mbucket, query.device.marker_budget))
+            with profiling.scope("chain"):
+                out = one_vs_many(stack, qpad, idx, cfg=cfg,
+                                  budgets=budgets,
+                                  chunk=_pow2_chunk(len(idx)))
+        else:
+            from .engine.stream import stream_one_vs_many
+            from .ops.sketch import marker_budget_for, seed_budget_for
+
+            by_name = {os.path.basename(m.name): m for m in self._markers}
+            tl = max(by_name[rn].total_len for rn in shortlist) \
+                if shortlist else 0
+            bucket = max(seed_budget_for(tl, self._params.c),
+                         query.device.seed_budget)
+            mbucket = max(marker_budget_for(tl, self._params.marker_c),
+                          query.device.marker_budget)
+            qpad = repad_sketch(query, bucket, mbucket)
+            with profiling.scope("chain"):
+                out = stream_one_vs_many(
+                    self._storage.load, list(shortlist), qpad, cfg=cfg,
+                    budgets=budgets, seed_budget=bucket,
+                    marker_budget=mbucket,
+                    chunk=_pow2_chunk(len(shortlist)))
         if profiling.enabled():
             profiling.stats().add("pairs_chained", len(shortlist))
         key = "ani_median" if median else \
