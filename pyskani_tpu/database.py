@@ -299,8 +299,12 @@ class Database:
         if profiling.enabled():
             profiling.stats().add("refs_screened", len(self._markers))
             profiling.stats().add("screen_passed", int(passes.sum()))
-        shortlist = sorted({os.path.basename(self._markers[i].name)
-                            for i in np.nonzero(passes)[0]})
+        # shortlist preserves marker insertion order, deduplicated — the
+        # reference iterates markers in order and returns hits in that
+        # order (lib.rs:616-657)
+        shortlist = list(dict.fromkeys(
+            os.path.basename(self._markers[i].name)
+            for i in np.nonzero(passes)[0]))
 
         # phase 2 — batched chain pipeline over the shortlist.  In-memory
         # stores keep the whole reference set as one cached device tensor

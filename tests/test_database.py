@@ -133,3 +133,31 @@ def test_hit_validation():
     h = pyskani_tpu.Hit(0.5, "q", 0.25, "r", 0.75)
     assert "identity=0.5" in repr(h)
     assert h.query_name == "q" and h.reference_name == "r"
+
+
+def test_hit_insertion_order():
+    """Hits come back in marker insertion order (reference lib.rs:616-657
+    iterates markers in order, not alphabetically)."""
+    import numpy as np
+    from conftest import mutate, random_genome
+    rng = np.random.default_rng(31)
+    base = random_genome(rng, 60_000)
+    db = pyskani_tpu.Database()
+    for name in ("zeta", "alpha", "mike"):
+        db.sketch(name, mutate(rng, base, 0.01))
+    hits = db.query("q", base, learned_ani=False)
+    assert [h.reference_name for h in hits] == ["zeta", "alpha", "mike"]
+
+
+def test_array_input():
+    """array.array contigs are accepted (reference _Sequence includes
+    array, _skani.pyi:10; Text buffer handling utils.rs:74-102)."""
+    import numpy as np
+    from array import array
+    from conftest import random_genome
+    rng = np.random.default_rng(32)
+    g = random_genome(rng, 60_000)
+    db = pyskani_tpu.Database()
+    db.sketch("ref", array("B", g))
+    hits = db.query("q", memoryview(g), learned_ani=False)
+    assert len(hits) == 1 and hits[0].identity > 0.999
