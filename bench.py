@@ -28,7 +28,7 @@ SINGLE_CORE_SKANI_PAIRS_PER_S = 30.0  # documented estimate (BENCH_NOTES.md)
 
 N_GENOMES = int(os.environ.get("BENCH_GENOMES", "32"))
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", str(2_300_000)))
-BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "8"))
 
 
 def make_genomes(n, length, seed=0):
@@ -82,7 +82,7 @@ def main():
     budgets = EngineBudgets(
         max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
         max_fragments=nf,
-        max_anchors_per_fragment=512)
+        max_anchors_per_fragment=256)
     ri, qi = np.triu_indices(N_GENOMES, k=1)
     n_pairs = len(ri)
 

@@ -239,7 +239,7 @@ class Database:
         return EngineBudgets(
             max_anchors=round_up(int(qa * 1.5) + 4096, 8192),
             max_fragments=nf,
-            max_anchors_per_fragment=512,
+            max_anchors_per_fragment=256,
         )
 
     def _ref_stack(self):

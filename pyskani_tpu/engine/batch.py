@@ -135,11 +135,11 @@ def default_budgets(sketches: List[HostSketch], batch: DeviceSketch,
     return EngineBudgets(
         max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
         max_fragments=nf,
-        max_anchors_per_fragment=512)
+        max_anchors_per_fragment=256)
 
 
 def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
-             budgets: EngineBudgets | None = None, block: int = 16,
+             budgets: EngineBudgets | None = None, block: int = 8,
              anchors_per_pair: int | None = None):
     """All-vs-all ANI over a genome set (reference `skani triangle` mode).
 
