@@ -97,6 +97,17 @@ class _out_stream:
         return False
 
 
+def _expand_lists(paths: List[str], list_files: List[str] | None) -> List[str]:
+    """Positional paths plus newline-separated paths from -l list files
+    (skani's file-of-filenames input convention)."""
+    out = list(paths)
+    for lf in list_files or ():
+        with open(lf) as f:
+            out.extend(line.strip() for line in f
+                       if line.strip() and not line.startswith("#"))
+    return out
+
+
 def _genome_records(paths: List[str]):
     """Yield (name, contigs) per FASTA file (whole file = one genome).
 
@@ -118,11 +129,15 @@ def _genome_records(paths: List[str]):
 
 def cmd_sketch(args) -> int:
     from .database import Database
+    genomes = _expand_lists(args.genomes, args.list_files)
+    if not genomes:
+        print("error: no input genomes (positional or -l)", file=sys.stderr)
+        return 2
     with Database(args.output, compression=args.compression,
                   marker_compression=args.marker_compression,
                   k=args.k) as db:
-        db.sketch_many(_genome_records(args.genomes))
-        print(f"sketched {len(args.genomes)} genomes", file=sys.stderr)
+        db.sketch_many(_genome_records(genomes))
+        print(f"sketched {len(genomes)} genomes", file=sys.stderr)
     return 0
 
 
@@ -149,9 +164,15 @@ def _run_queries(db, args, out) -> None:
 
 def cmd_dist(args) -> int:
     from .database import Database
+    args.queries = _expand_lists(args.queries, args.query_lists)
+    refs = _expand_lists(args.refs, args.ref_lists)
+    if not args.queries or not refs:
+        print("error: need at least one query (-q/--ql) and one "
+              "reference (-r/--rl)", file=sys.stderr)
+        return 2
     db = Database(compression=args.compression,
                   marker_compression=args.marker_compression, k=args.k)
-    db.sketch_many(_genome_records(args.refs))
+    db.sketch_many(_genome_records(refs))
     with _out_stream(args.output_file) as out:
         _run_queries(db, args, out)
     return 0
@@ -159,6 +180,11 @@ def cmd_dist(args) -> int:
 
 def cmd_search(args) -> int:
     from .database import Database
+    args.queries = _expand_lists(args.queries, args.query_lists)
+    if not args.queries:
+        print("error: no query genomes (positional or --ql)",
+              file=sys.stderr)
+        return 2
     db = Database.open(args.database) if not args.preload \
         else Database.load(args.database)
     with _out_stream(args.output_file) as out:
@@ -176,7 +202,11 @@ def cmd_triangle(args) -> int:
 
     params = SketchParams(c=args.compression,
                           marker_c=args.marker_compression, k=args.k)
-    named = list(_genome_records(args.genomes))
+    genomes = _expand_lists(args.genomes, args.list_files)
+    if len(genomes) < 2:
+        print("error: triangle needs at least two genomes", file=sys.stderr)
+        return 2
+    named = list(_genome_records(genomes))
     sketches = sketch_genomes_device(named, params)
     names = [s.name for s in sketches]
     cfg = ChainConfig(est_ci=True) if args.ci else ChainConfig()
@@ -224,7 +254,9 @@ def build_parser() -> argparse.ArgumentParser:
     sub = ap.add_subparsers(dest="command", required=True)
 
     p = sub.add_parser("sketch", help="sketch genomes into a database")
-    p.add_argument("genomes", nargs="+")
+    p.add_argument("genomes", nargs="*")
+    p.add_argument("-l", "--list", dest="list_files", action="append",
+                   help="file listing genome paths, one per line")
     p.add_argument("-o", "--output", required=True, help="database folder")
     p.add_argument("--format", choices=["consolidated", "separated"],
                    default=None)
@@ -232,14 +264,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_sketch)
 
     p = sub.add_parser("dist", help="ANI between query and reference genomes")
-    p.add_argument("-q", "--queries", nargs="+", required=True)
-    p.add_argument("-r", "--refs", nargs="+", required=True)
+    p.add_argument("-q", "--queries", nargs="*", default=[])
+    p.add_argument("-r", "--refs", nargs="*", default=[])
+    p.add_argument("--ql", dest="query_lists", action="append",
+                   help="file listing query paths, one per line")
+    p.add_argument("--rl", dest="ref_lists", action="append",
+                   help="file listing reference paths, one per line")
     _add_sketch_params(p)
     _add_query_params(p)
     p.set_defaults(func=cmd_dist)
 
     p = sub.add_parser("search", help="search a pre-sketched database")
-    p.add_argument("queries", nargs="+")
+    p.add_argument("queries", nargs="*")
+    p.add_argument("--ql", dest="query_lists", action="append",
+                   help="file listing query paths, one per line")
     p.add_argument("-d", "--database", required=True)
     p.add_argument("--preload", action="store_true",
                    help="load all sketches in memory up front")
@@ -247,7 +285,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(func=cmd_search)
 
     p = sub.add_parser("triangle", help="all-vs-all ANI (lower triangle)")
-    p.add_argument("genomes", nargs="+")
+    p.add_argument("genomes", nargs="*")
+    p.add_argument("-l", "--list", dest="list_files", action="append",
+                   help="file listing genome paths, one per line")
     p.add_argument("--full-matrix", action="store_true",
                    help="PHYLIP-style lower-triangular matrix output "
                         "(skani triangle's default form)")

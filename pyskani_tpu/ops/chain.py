@@ -519,8 +519,199 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     return out
 
 
+def _seg_scan_stats(first: jax.Array, fields: dict) -> dict:
+    """Fused segmented reduction scan: within each segment (delimited by
+    ``first`` flags), running count/min/max/sum per field.  Values at the
+    LAST element of each segment are the per-segment reductions.  One
+    associative_scan over the whole pytree — linear HBM passes instead of
+    the random-access scatters the per-pair stats used."""
+    ops = {"cnt": lambda a, b: a + b, "qmn": jnp.minimum,
+           "qmx": jnp.maximum, "rmn": jnp.minimum, "rmx": jnp.maximum,
+           "smx": jnp.maximum, "sum": lambda a, b: a + b,
+           "lo": jnp.minimum, "hi": jnp.maximum}
+
+    def comb(a, b):
+        f = b["flag"]
+        out = {"flag": a["flag"] | f}
+        for k, v in b.items():
+            if k == "flag":
+                continue
+            out[k] = jnp.where(f, v, ops[k](a[k], v))
+        return out
+
+    return jax.lax.associative_scan(comb, dict(fields, flag=first))
+
+
+def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
+                   scores: jax.Array, roots: jax.Array, q_starts: jax.Array,
+                   q_frag_offs: jax.Array, cfg: ChainConfig,
+                   budgets: EngineBudgets, G_r: int, G_q: int) -> dict:
+    """Per-chain statistics + estimators for a whole [G_r x G_q] block.
+
+    Replaces the vmapped per-pair scatter reductions (7 scatter ops over
+    [NF, PF+1] grids — the dominant post-DP cost on TPU) with ONE sort of
+    all anchors by chain key (row*PF + root) followed by a fused
+    segmented scan; per-chain values sit at segment ends, and row-level
+    aggregates (fragment numerators, spans) come from a second segmented
+    scan over those ends.  Numerically identical to _post_dp — pinned by
+    tests/test_block_join.py.
+    """
+    fl = cfg.fragment_length
+    NF = budgets.max_fragments
+    PF = budgets.max_anchors_per_fragment
+    P = G_r * G_q
+    R = P * NF
+    ext_l, ext_r = cfg.extend_left, cfg.extend_right
+
+    meta = merged["meta"].reshape(-1)
+    valid = (meta & 1) == 1
+    rows = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, PF)).reshape(-1)
+    rootc = jnp.clip(roots.reshape(-1), 0, PF - 1)
+    # chain key: row * (PF+1) + root.  Invalid anchors go to a per-ROW
+    # overflow bucket (root slot PF) so the globally sorted array stays
+    # pair-contiguous — every element keeps a key inside its own pair's
+    # key range, making the later reshape(P, NF*PF) exact.
+    key = rows * (PF + 1) + jnp.where(valid, rootc, PF)
+    key_s, qpos_s, rpos_s, score_s, meta_s = jax.lax.sort(
+        (key, merged["qpos"].reshape(-1), merged["rpos"].reshape(-1),
+         scores.reshape(-1), meta), num_keys=1)
+
+    n = key_s.shape[0]
+    first = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    scan = _seg_scan_stats(first, dict(
+        cnt=jnp.ones(n, jnp.int32), qmn=qpos_s, qmx=qpos_s,
+        rmn=rpos_s, rmx=rpos_s, smx=score_s))
+    is_last = jnp.concatenate([key_s[1:] != key_s[:-1],
+                               jnp.ones(1, bool)])
+    chain_end = is_last & (key_s % (PF + 1) != PF)
+    c_count = scan["cnt"]
+    c_score = scan["smx"]
+    keep = chain_end & (c_count >= cfg.min_anchors_chain)
+    if cfg.min_chain_score > 0:
+        keep &= c_score >= cfg.min_chain_score
+
+    # ---- row-level aggregates via a second segmented scan over ends ----
+    row_of = key_s // (PF + 1)
+    row_first = jnp.concatenate([jnp.ones(1, bool),
+                                 row_of[1:] != row_of[:-1]])
+    scan2 = _seg_scan_stats(row_first, dict(
+        sum=jnp.where(keep, c_count, 0),
+        lo=jnp.where(keep, scan["qmn"] - ext_l, POS_BIG),
+        hi=jnp.where(keep, scan["qmx"] + ext_r, NEG_BIG)))
+    row_ids = jnp.arange(R, dtype=jnp.int32)
+    row_last = jnp.clip(
+        jnp.searchsorted(row_of, row_ids, side="right") - 1, 0, n - 1)
+    row_has = row_of[row_last] == row_ids
+    numer = jnp.where(row_has, scan2["sum"][row_last], 0)          # [R]
+    span_lo = jnp.where(row_has, scan2["lo"][row_last], POS_BIG)
+    span_hi = jnp.where(row_has, scan2["hi"][row_last], NEG_BIG)
+
+    # ---- per-pair tail (denominators, estimators, AF unions) ----
+    C = queries.contig_lengths.shape[1]
+    E = NF * PF
+
+    def tail(qi_idx, g_idx, numer, span_lo, span_hi, keep_e, qmn_e, qmx_e,
+             rmn_e, rmx_e, meta_e):
+        query = jax.tree.map(lambda x: x[qi_idx], queries)
+        ref = jax.tree.map(lambda x: x[g_idx], refs)
+        q_st = q_starts[qi_idx]
+        q_fo = q_frag_offs[qi_idx]
+        r_st, _ = _contig_layout(ref, fl)
+
+        frag_ids = jnp.arange(NF, dtype=jnp.int32)
+        frag_cid = (jnp.searchsorted(q_fo, frag_ids, side="right") - 1
+                    ).astype(jnp.int32)
+        frag_cid = jnp.clip(frag_cid, 0, C - 1)
+        frag_base = (frag_ids - q_fo[frag_cid]) * fl
+        frag_clen = query.contig_lengths[frag_cid]
+        frag_end = jnp.minimum(frag_base + fl - 1, frag_clen - 1)
+        lo = jnp.maximum(span_lo, frag_base)
+        hi = jnp.minimum(span_hi, frag_end)
+
+        denom_thr = cfg.denom_mask_mult or cfg.max_seed_multiplicity
+        p_valid = jnp.arange(query.seed_budget) < query.n_seeds
+        if cfg.mask_repetitive_denom == "none":
+            p_ok = p_valid
+        else:
+            p_ok = p_valid & (query.p_own_mult <= denom_thr)
+        p_cid_safe = jnp.clip(query.p_contig_ids, 0, C - 1)
+        p_gpos = jnp.where(p_valid, q_st[p_cid_safe] + query.p_positions,
+                           POS_BIG)
+        prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                  jnp.cumsum(p_ok.astype(jnp.int32))])
+        g_lo = q_st[frag_cid] + lo
+        g_hi = q_st[frag_cid] + hi
+        denom = prefix[jnp.searchsorted(p_gpos, g_hi + 1, side="left")] - \
+            prefix[jnp.searchsorted(p_gpos, g_lo, side="left")]
+
+        covered = numer >= jnp.maximum(1, cfg.min_frag_anchors)
+        ratio = jnp.minimum(numer.astype(jnp.float32) /
+                            jnp.maximum(denom.astype(jnp.float32), 1.0), 1.0)
+        frag_ani = jnp.where(covered, ratio ** (1.0 / cfg_k(query, cfg)),
+                             jnp.inf)
+
+        n_cov = jnp.sum(covered, dtype=jnp.int32)
+        s = jnp.sort(frag_ani)
+        mean = jnp.sum(jnp.where(covered, frag_ani, 0.0)) / \
+            jnp.maximum(n_cov.astype(jnp.float32), 1.0)
+        q10 = _interp_quantile(s, n_cov, 0.1)
+        q90 = _interp_quantile(s, n_cov, 0.9)
+        in_win = (s >= q10) & (s <= q90) & (jnp.arange(NF) < n_cov)
+        robust = jnp.sum(jnp.where(in_win, s, 0.0)) / \
+            jnp.maximum(jnp.sum(in_win, dtype=jnp.float32), 1.0)
+        mid_hi = jnp.clip(n_cov // 2, 0, NF - 1)
+        mid_lo = jnp.clip((n_cov - 1) // 2, 0, NF - 1)
+        med = 0.5 * (s[mid_lo] + s[mid_hi])
+
+        qcid_e = jnp.clip(meta_e >> 17, 0, C - 1)
+        rcid_e = jnp.clip((meta_e >> 3) & 0x3FFF, 0,
+                          ref.contig_lengths.shape[0] - 1)
+        q_lo = q_st[qcid_e] + jnp.maximum(qmn_e - ext_l, 0)
+        q_hi = q_st[qcid_e] + jnp.minimum(
+            qmx_e + ext_r, query.contig_lengths[qcid_e] - 1)
+        r_lo = r_st[rcid_e] + jnp.maximum(rmn_e - ext_l, 0)
+        r_hi = r_st[rcid_e] + jnp.minimum(
+            rmx_e + ext_r, ref.contig_lengths[rcid_e] - 1)
+        af_q = _union_length(q_lo, q_hi, keep_e).astype(jnp.float32) / \
+            jnp.maximum(query.total_len.astype(jnp.float32), 1.0)
+        af_r = _union_length(r_lo, r_hi, keep_e).astype(jnp.float32) / \
+            jnp.maximum(ref.total_len.astype(jnp.float32), 1.0)
+
+        no_cov = n_cov == 0
+        out = dict(
+            ani_mean=jnp.where(no_cov, 0.0, mean),
+            ani_robust=jnp.where(no_cov, 0.0, robust),
+            ani_median=jnp.where(no_cov, 0.0, med),
+            af_query=af_q, af_ref=af_r, n_fragments=n_cov,
+        )
+        if cfg.est_ci:
+            Rci = cfg.ci_iterations
+            rkey = jax.random.PRNGKey(1539)
+            idx = jax.random.randint(rkey, (Rci, NF), 0,
+                                     jnp.maximum(n_cov, 1))
+            cols = jnp.arange(NF, dtype=jnp.int32)[None, :] < n_cov
+            boot = jnp.sum(jnp.where(cols, s[idx], 0.0), axis=1) / \
+                jnp.maximum(n_cov.astype(jnp.float32), 1.0)
+            boot_s = jnp.sort(boot)
+            out["ani_ci_low"] = jnp.where(
+                no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(Rci), 0.05))
+            out["ani_ci_high"] = jnp.where(
+                no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(Rci), 0.95))
+        return out
+
+    pair_ids = jnp.arange(P, dtype=jnp.int32)
+    return jax.vmap(tail)(
+        pair_ids % G_q, pair_ids // G_q,
+        numer.reshape(P, NF), span_lo.reshape(P, NF), span_hi.reshape(P, NF),
+        keep.reshape(P, E), scan["qmn"].reshape(P, E),
+        scan["qmx"].reshape(P, E), scan["rmn"].reshape(P, E),
+        scan["rmx"].reshape(P, E), meta_s.reshape(P, E))
+
+
 def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
-                total_anchors: int):
+                total_anchors: int, q_starts: jax.Array,
+                q_frag_offs: jax.Array, NF: int):
     """Anchors for EVERY (ref genome, query genome) pair in ONE sort.
 
     The per-pair join (_join_anchors) pays a stream sort per pair; here
@@ -532,9 +723,23 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     own within-genome multiplicity exceeds the cap: a k-mer's run length
     within one genome IS its multiplicity there, so dropping over-cap
     seeds up front removes exactly the runs the per-pair join rejects.
+
+    Gathers dominate this stage on TPU (~9 ms per 1M-element gather, vs
+    ~4 ms for a whole 622k 2-key sort — scripts/micro_scatter.py), so the
+    per-seed payloads RIDE THE SORT as value operands and everything the
+    downstream pipeline needs is packed into two i32 payload words per
+    seed, precomputed at stream-build time on the (much smaller) seed
+    tables:
+      ref  entry: p1 = in-contig position, p2 = g<<15 | rcid<<1 | strand
+      query entry: p1 = gq<<1 | strand  (gq = genome-global position),
+                   p2 = qi*NF + fragment  (-1 if the fragment overflows)
+    so each expanded anchor costs 4 payload gathers + 1 run_start gather
+    instead of 12 scattered lookups.
     """
     G_r, Sr = refs.kmers.shape
     G_q, Sq = queries.kmers.shape
+    C = queries.contig_lengths.shape[1]
+    fl = cfg.fragment_length
     cap = cfg.max_seed_multiplicity
     SENT = jnp.uint32(0xFFFFFFFF)
     r_kmers = jnp.where(refs.own_mult <= cap, refs.kmers, SENT).reshape(-1)
@@ -542,16 +747,34 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
                         SENT).reshape(-1)
     NR = G_r * Sr
     NQ = G_q * Sq
-    assert NR < (1 << 30) and NQ < (1 << 30)
+    assert NR < (1 << 30) and NQ < (1 << 30) and G_r < (1 << 15)
     n = NR + NQ
+
+    # --- per-seed payload words (seed-table sized, cheap) ---
+    g_id = jnp.arange(NR, dtype=jnp.int32) // Sr
+    r_p1 = refs.positions.reshape(-1)
+    r_p2 = (g_id << 15) | \
+        (refs.contig_ids.reshape(-1).astype(jnp.int32) << 1) | \
+        refs.strands.reshape(-1).astype(jnp.int32)
+    qi_id = jnp.arange(NQ, dtype=jnp.int32) // Sq
+    q_cid = jnp.clip(queries.contig_ids.reshape(-1), 0, C - 1)
+    q_pos = queries.positions.reshape(-1)
+    flat = qi_id * (C + 1) + q_cid
+    gq = q_starts.reshape(-1)[flat] + q_pos
+    frag = q_frag_offs.reshape(-1)[flat] + q_pos // fl
+    q_p1 = (gq << 1) | queries.strands.reshape(-1).astype(jnp.int32)
+    q_p2 = jnp.where(frag < NF, qi_id * NF + frag, -1)
+
     kmer = jnp.concatenate([r_kmers, q_kmers])
-    packed = jnp.concatenate([
-        jnp.arange(NR, dtype=jnp.int32),
-        jnp.arange(NQ, dtype=jnp.int32) | jnp.int32(1 << 30),
-    ])
-    kmer_s, packed_s = jax.lax.sort((kmer, packed), num_keys=2)
-    tag_q = packed_s >= (1 << 30)
-    orig = packed_s & jnp.int32((1 << 30) - 1)
+    tag = jnp.concatenate([jnp.zeros(NR, jnp.uint8),
+                           jnp.ones(NQ, jnp.uint8)])
+    p1 = jnp.concatenate([r_p1, q_p1])
+    p2 = jnp.concatenate([r_p2, q_p2])
+    # keys (kmer, tag): refs sort before queries inside each k-mer run,
+    # so a query's preceding-ref count IS the run's full ref count
+    kmer_s, tag_s, p1_s, p2_s = jax.lax.sort((kmer, tag, p1, p2),
+                                             num_keys=2)
+    tag_q = tag_s == 1
 
     i = jnp.arange(n, dtype=jnp.int32)
     first = jnp.concatenate([jnp.ones(1, bool), kmer_s[1:] != kmer_s[:-1]])
@@ -569,27 +792,34 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     slot0 = jnp.where(ok, offs, A)
     src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
     src = jax.lax.cummax(src_map[:A])
-    j = t - offs[src]
+    # j = slot rank within its source query = t - (first slot of src),
+    # computed scan-style instead of gathering offs[src]
+    src_first = jnp.concatenate([jnp.ones(1, bool), src[1:] != src[:-1]])
+    j = t - jax.lax.cummax(jnp.where(src_first, t, 0))
     a_valid = t < total
-    qf = orig[src]                                   # flat query seed index
     r_sorted_idx = jnp.minimum(run_start[src] + j, n - 1)
-    rf = jnp.minimum(orig[r_sorted_idx], NR - 1)     # flat ref seed index
-    qi = qf // Sq
-    g = rf // Sr
 
-    qpos = queries.positions.reshape(-1)[qf]
-    qcid = queries.contig_ids.reshape(-1)[qf]
-    rpos = refs.positions.reshape(-1)[rf]
-    rcid = refs.contig_ids.reshape(-1)[rf]
-    rev = queries.strands.reshape(-1)[qf] != refs.strands.reshape(-1)[rf]
+    q1 = p1_s[src]
+    q2 = p2_s[src]
+    r1 = p1_s[r_sorted_idx]
+    r2 = p2_s[r_sorted_idx]
+
+    gq_a = q1 >> 1
+    ftab = q2                                # qi*NF + frag, or -1
+    rpos = r1
+    g = r2 >> 15
+    rcid = (r2 >> 1) & 0x3FFF
+    rev = (q1 & 1) != (r2 & 1)
+    a_valid = a_valid & (ftab >= 0)
+    qi = jnp.clip(ftab, 0, NQ) // NF
+    rowid = g * (G_q * NF) + jnp.maximum(ftab, 0)
     return dict(
-        qpos=jnp.where(a_valid, qpos, I32_SENTINEL),
-        qcid=jnp.where(a_valid, qcid, I32_SENTINEL),
+        gq=gq_a,
+        rowid=rowid,
         rpos=jnp.where(a_valid, rpos, I32_SENTINEL),
         rcid=jnp.where(a_valid, rcid, I32_SENTINEL),
         rev=rev,
         valid=a_valid,
-        qi=jnp.where(a_valid, qi, 0),
         pair=jnp.where(a_valid, g * G_q + qi, (1 << 30)),  # row-major [Gr,Gq]
         n_anchors=total,
     )
@@ -627,14 +857,11 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
 
     q_starts, q_frag_offs = jax.vmap(
         lambda q: _contig_layout(q, fl))(queries)        # [G_q, C+1]
-    a = _block_join(refs, queries, cfg, total_anchors)
-
-    cid_safe = jnp.clip(a["qcid"], 0, C - 1)
-    flat_idx = a["qi"] * (C + 1) + cid_safe
-    frag = q_frag_offs.reshape(-1)[flat_idx] + a["qpos"] // fl
-    gq = q_starts.reshape(-1)[flat_idx] + a["qpos"]
-    valid = a["valid"] & (frag < NF)
-    rowid = a["pair"] * NF + frag                        # < 2^17
+    a = _block_join(refs, queries, cfg, total_anchors, q_starts,
+                    q_frag_offs, NF)
+    valid = a["valid"]
+    gq = a["gq"]
+    rowid = a["rowid"]                                   # < P*NF <= 2^17
 
     k1 = jnp.where(valid, (rowid << 14) | a["rcid"], POS_BIG)
     k2 = jnp.where(valid, a["rpos"], POS_BIG)
@@ -687,17 +914,8 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     }
 
     scores, roots = _dp_dispatch(merged, cfg, budgets)
-
-    grids = jax.tree.map(lambda x: x.reshape(P, NF, PF), merged)
-    scores = scores.reshape(P, NF, PF)
-    roots = roots.reshape(P, NF, PF)
-    refs_rep = jax.tree.map(
-        lambda x: jnp.repeat(x, G_q, axis=0), refs)      # pair p = g*G_q+qi
-    qrys_rep = jax.tree.map(
-        lambda x: jnp.tile(x, (G_r,) + (1,) * (x.ndim - 1)), queries)
-    out = jax.vmap(
-        lambda r, q, g, s, ro: _post_dp(r, q, g, s, ro, cfg, budgets))(
-        refs_rep, qrys_rep, grids, scores, roots)
+    out = _post_dp_block(refs, queries, merged, scores, roots, q_starts,
+                         q_frag_offs, cfg, budgets, G_r, G_q)
     # per-pair anchor counts
     pair_clip = jnp.where(a["valid"], a["pair"], P)
     n_anchors = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(

@@ -62,8 +62,12 @@ def timed(label, fn, *args, reps=5):
 
 
 # stage 1: the tagged join (one big sort + expansion)
-timed("block_join", lambda r, q: C._block_join(r, q, cfg, TOTAL),
-      refs, qrys)
+def join_only(r, q):
+    q_starts, q_frag_offs = jax.vmap(
+        lambda qq: C._contig_layout(qq, cfg.fragment_length))(q)
+    return C._block_join(r, q, cfg, TOTAL, q_starts, q_frag_offs,
+                         budgets.max_fragments)
+timed("block_join", join_only, refs, qrys)
 
 # stage 2..n: prefixes of chain_block, via monkeypatchable cut points
 fl = cfg.fragment_length
@@ -76,13 +80,10 @@ CC = qrys.contig_lengths.shape[1]
 def pre_grid(refs, queries):
     q_starts, q_frag_offs = jax.vmap(
         lambda q: C._contig_layout(q, fl))(queries)
-    a = C._block_join(refs, queries, cfg, TOTAL)
-    cid_safe = jnp.clip(a["qcid"], 0, CC - 1)
-    flat_idx = a["qi"] * (CC + 1) + cid_safe
-    frag = q_frag_offs.reshape(-1)[flat_idx] + a["qpos"] // fl
-    gq = q_starts.reshape(-1)[flat_idx] + a["qpos"]
-    valid = a["valid"] & (frag < NF)
-    rowid = a["pair"] * NF + frag
+    a = C._block_join(refs, queries, cfg, TOTAL, q_starts, q_frag_offs, NF)
+    valid = a["valid"]
+    gq = a["gq"]
+    rowid = a["rowid"]
     k1 = jnp.where(valid, (rowid << 14) | a["rcid"], C.POS_BIG)
     k2 = jnp.where(valid, a["rpos"], C.POS_BIG)
     payload = jnp.where(
@@ -109,3 +110,70 @@ timed("dp_dispatch alone (zero grid)",
       lambda a, b, c2: C._dp_dispatch(dict(qpos=a, rpos=b, meta=c2),
                                       cfg, budgets),
       qpos, rpos, meta)
+
+
+# finer cuts: full pre-DP (grids built), and grids+DP without post stats
+def pre_dp_full(refs, queries):
+    q_starts, q_frag_offs = jax.vmap(
+        lambda q: C._contig_layout(q, fl))(queries)
+    a = C._block_join(refs, queries, cfg, TOTAL, q_starts, q_frag_offs, NF)
+    valid = a["valid"]
+    gq = a["gq"]
+    rowid = a["rowid"]
+    k1 = jnp.where(valid, (rowid << 14) | a["rcid"], C.POS_BIG)
+    k2 = jnp.where(valid, a["rpos"], C.POS_BIG)
+    payload = jnp.where(
+        valid,
+        (gq.astype(jnp.uint32) << 2) | (a["rev"].astype(jnp.uint32) << 1)
+        | jnp.uint32(1),
+        jnp.uint32(0xFFFFFFFC))
+    k1, k2, payload = jax.lax.sort((k1, k2, payload), num_keys=3)
+    valid_s = (payload & 1) == 1
+    rev_s = (payload & 2) == 2
+    gq_s = (payload >> 2).astype(jnp.int32)
+    rowid_s = jnp.where(valid_s, k1 >> 14, C.I32_SENTINEL)
+    rcid_s = k1 & 0x3FFF
+    rpos_s = k2
+    pair_s = jnp.clip(rowid_s // NF, 0, P - 1)
+    frag_s = rowid_s - pair_s * NF
+    qi_s = pair_s % G_q
+    frag_ids = jnp.arange(NF, dtype=jnp.int32)
+    frag_cid_tab = jnp.clip(
+        (jax.vmap(lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
+            q_frag_offs) - 1).astype(jnp.int32), 0, CC - 1)
+    qcid_s = frag_cid_tab.reshape(-1)[
+        qi_s * NF + jnp.clip(frag_s, 0, NF - 1)]
+    qpos_s = gq_s - q_starts.reshape(-1)[qi_s * (CC + 1) + qcid_s]
+    A2 = rowid_s.shape[0]
+    ii = jnp.arange(A2, dtype=jnp.int32)
+    row_first = jnp.concatenate([jnp.ones(1, bool),
+                                 rowid_s[1:] != rowid_s[:-1]])
+    rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
+    ok = valid_s & (rowid_s < P * NF) & (rank < PF)
+    row = jnp.where(ok, rowid_s, P * NF)
+    col = jnp.where(ok, rank, PF)
+
+    def grid_of(vals, fill):
+        g = jnp.full((P * NF + 1, PF + 1), fill, vals.dtype)
+        g = g.at[row, col].set(jnp.where(ok, vals, fill))
+        return g[:P * NF, :PF]
+
+    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
+        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
+    meta = jnp.where(ok, meta, 0)
+    return {
+        "qpos": grid_of(qpos_s, C.I32_SENTINEL),
+        "rpos": grid_of(rpos_s, C.I32_SENTINEL),
+        "meta": grid_of(meta, 0),
+    }
+
+
+timed("pre-DP complete (grids built)", pre_dp_full, refs, qrys)
+
+
+def with_dp(refs, queries):
+    merged = pre_dp_full(refs, queries)
+    return C._dp_dispatch(merged, cfg, budgets)
+
+
+timed("pre-DP + DP (no post stats)", with_dp, refs, qrys)

@@ -90,3 +90,24 @@ def test_gzip_fasta(genomes, capsys):
     assert rc == 0
     rows = _parse_tsv(capsys.readouterr().out)
     assert len(rows) == 1
+
+
+def test_list_file_inputs(genomes, tmp_path, capsys):
+    """-l/--ql/--rl file-of-filenames inputs (skani's list convention)."""
+    lst = tmp_path / "refs.txt"
+    lst.write_text(f"{genomes['a']}\n# comment\n{genomes['b']}\n")
+    rc = cli.main(["dist", "-q", genomes["b"], "--rl", str(lst),
+                   "--learned-ani", "no"])
+    assert rc == 0
+    rows = _parse_tsv(capsys.readouterr().out)
+    assert {r[0] for r in rows} == {"a.fa", "b.fa"}
+
+    rc = cli.main(["triangle", "-l", str(lst), "--learned-ani", "no"])
+    assert rc == 0
+    rows = _parse_tsv(capsys.readouterr().out)
+    assert len(rows) == 1  # a-b pair
+
+
+def test_empty_inputs_rejected(capsys):
+    assert cli.main(["dist", "-q"]) == 2
+    assert cli.main(["triangle"]) == 2
