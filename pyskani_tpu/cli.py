@@ -193,7 +193,6 @@ def cmd_search(args) -> int:
 
 
 def cmd_triangle(args) -> int:
-    import dataclasses
 
     from .engine.batch import triangle
     from .oracle.chain import ChainConfig

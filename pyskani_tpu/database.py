@@ -24,7 +24,7 @@ from .oracle.chain import ChainConfig
 from .db import storage as dbstorage
 from .db.storage import (ConsolidatedStorage, FolderStorage, MarkerSketch,
                          MemoryStorage, load_index, load_markers)
-from .ops.chain import EngineBudgets, chain_pair
+from .ops.chain import EngineBudgets
 from .ops.screen import screen_batch
 from .ops.sketch import HostSketch, round_up, sketch_genome_device
 from .params import (MIN_ANI_KEEP, D_FRAC_COVER_CUTOFF,

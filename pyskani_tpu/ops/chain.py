@@ -797,12 +797,19 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     src_first = jnp.concatenate([jnp.ones(1, bool), src[1:] != src[:-1]])
     j = t - jax.lax.cummax(jnp.where(src_first, t, 0))
     a_valid = t < total
-    r_sorted_idx = jnp.minimum(run_start[src] + j, n - 1)
+    # run_start[src] via a second scatter+cummax instead of a gather:
+    # run_start is itself non-decreasing in i, so the cummax fill between
+    # consecutive ok slots reproduces the gather exactly
+    rs_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
+        jnp.where(ok, run_start, 0))
+    r_sorted_idx = jnp.minimum(jax.lax.cummax(rs_map[:A]) + j, n - 1)
 
-    q1 = p1_s[src]
-    q2 = p2_s[src]
-    r1 = p1_s[r_sorted_idx]
-    r2 = p2_s[r_sorted_idx]
+    # paired payload tables: one gather moves both words per side
+    p12_s = jnp.stack([p1_s, p2_s], axis=1)          # [n, 2]
+    qp = p12_s[src]
+    rp = p12_s[r_sorted_idx]
+    q1, q2 = qp[:, 0], qp[:, 1]
+    r1, r2 = rp[:, 0], rp[:, 1]
 
     gq_a = q1 >> 1
     ftab = q2                                # qi*NF + frag, or -1
