@@ -177,3 +177,30 @@ def with_dp(refs, queries):
 
 
 timed("pre-DP + DP (no post stats)", with_dp, refs, qrys)
+
+
+def stats_only(refs, queries):
+    q_starts, q_frag_offs = jax.vmap(
+        lambda q: C._contig_layout(q, fl))(queries)
+    merged = pre_dp_full(refs, queries)
+    scores, roots = C._dp_dispatch(merged, cfg, budgets)
+    PF2 = budgets.max_anchors_per_fragment
+    R = P * NF
+    meta = merged["meta"].reshape(-1)
+    valid = (meta & 1) == 1
+    rows = jnp.broadcast_to(
+        jnp.arange(R, dtype=jnp.int32)[:, None], (R, PF2)).reshape(-1)
+    rootc = jnp.clip(roots.reshape(-1), 0, PF2 - 1)
+    key = rows * (PF2 + 1) + jnp.where(valid, rootc, PF2)
+    key_s, qpos_s, rpos_s, score_s, meta_s = jax.lax.sort(
+        (key, merged["qpos"].reshape(-1), merged["rpos"].reshape(-1),
+         scores.reshape(-1), meta), num_keys=1)
+    n2 = key_s.shape[0]
+    first = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    scan = C._seg_scan_stats(first, dict(
+        cnt=jnp.ones(n2, jnp.int32), qmn=qpos_s, qmx=qpos_s,
+        rmn=rpos_s, rmx=rpos_s, smx=score_s))
+    return scan["cnt"], scan["smx"], key_s
+
+
+timed("pre+DP+chain sort+scan1 (no tail)", stats_only, refs, qrys)
