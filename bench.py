@@ -104,12 +104,16 @@ def main():
                           take_sketch(batch, jnp.asarray(qpad))))
 
     def run():
+        # dispatch every tile asynchronously; fetch results once at the
+        # end so host->device dispatch overlaps device compute
+        outs = [(ridx, qidx,
+                 chain_block(r, q, cfg=cfg, budgets=budgets,
+                             total_anchors=total_anchors)["ani_mean"])
+                for ridx, qidx, r, q in tiles]
         ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
-        for ridx, qidx, r, q in tiles:
-            out = chain_block(r, q, cfg=cfg, budgets=budgets,
-                              total_anchors=total_anchors)
+        for ridx, qidx, tile_ani in outs:
             ani[np.ix_(ridx, qidx)] = \
-                np.asarray(out["ani_mean"])[:len(ridx), :len(qidx)]
+                np.asarray(tile_ani)[:len(ridx), :len(qidx)]
         return {"ani_mean": ani[ri, qi]}
 
     t0 = time.time()

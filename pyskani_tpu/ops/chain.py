@@ -52,6 +52,10 @@ class EngineBudgets:
     max_anchors: int = 65536
     max_fragments: int = 384
     max_anchors_per_fragment: int = 512
+    # kept chains per pair in the block tail (chain_block only): kept
+    # chains need >= 3 anchors (min_chain_score), so real pairs have at
+    # most a few hundred; overflow is reported via the n_chains output.
+    max_chains_per_pair: int = 2048
 
 
 def _check_supported(cfg: ChainConfig):
@@ -553,8 +557,15 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     all anchors by chain key (row*PF + root) followed by a fused
     segmented scan; per-chain values sit at segment ends, and row-level
     aggregates (fragment numerators, spans) come from a second segmented
-    scan over those ends.  Numerically identical to _post_dp — pinned by
-    tests/test_block_join.py.
+    scan over those ends.
+
+    The per-pair tail (AF interval unions, estimators) never touches the
+    full anchor stream: kept chain ends are compacted into a
+    [P, max_chains_per_pair] table with ONE packed scatter (rank within
+    pair via segmented cumsum), so all tail gathers/sorts run on ~1000x
+    fewer elements than the padded grid.  Numerically identical to
+    _post_dp as long as no pair overflows max_chains_per_pair (overflow
+    reported in the n_chains output) — pinned by tests/test_block_join.py.
     """
     fl = cfg.fragment_length
     NF = budgets.max_fragments
@@ -607,9 +618,38 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     span_lo = jnp.where(row_has, scan2["lo"][row_last], POS_BIG)
     span_hi = jnp.where(row_has, scan2["hi"][row_last], NEG_BIG)
 
+    # ---- compact kept chain ends into [P, CE] tables (one scatter) ----
+    CE = budgets.max_chains_per_pair
+    pair_of = row_of // NF
+    keep_i = keep.astype(jnp.int32)
+    kc = jnp.cumsum(keep_i)
+    pair_first = jnp.concatenate([jnp.ones(1, bool),
+                                  pair_of[1:] != pair_of[:-1]])
+    # kept ends before my pair starts (kc - keep is non-decreasing, so the
+    # cummax holds the most recent pair's base)
+    pair_base = jax.lax.cummax(jnp.where(pair_first, kc - keep_i, 0))
+    rank = kc - 1 - pair_base                     # rank among kept in pair
+    slot = jnp.where(keep & (rank < CE), pair_of * CE + rank, P * CE)
+    payload = jnp.stack([scan["qmn"], scan["qmx"], scan["rmn"],
+                         scan["rmx"], meta_s, row_of], axis=1)
+    tbl = jnp.full((P * CE + 1, 6), I32_SENTINEL, jnp.int32
+                   ).at[slot].set(payload)
+    tbl = tbl[:P * CE].reshape(P, CE, 6)
+    end_qmn, end_qmx, end_rmn, end_rmx, end_meta, end_row = (
+        tbl[..., i] for i in range(6))
+    end_valid = end_row != I32_SENTINEL
+    # kept-chain count per pair (for overflow diagnostics): last kc of the
+    # pair minus the pair base
+    pair_ids_r = jnp.arange(P, dtype=jnp.int32)
+    n_elems = pair_of.shape[0]
+    pair_last = jnp.clip(
+        jnp.searchsorted(pair_of, pair_ids_r, side="right") - 1,
+        0, n_elems - 1)
+    n_chains = jnp.where(pair_of[pair_last] == pair_ids_r,
+                         kc[pair_last] - pair_base[pair_last], 0)
+
     # ---- per-pair tail (denominators, estimators, AF unions) ----
     C = queries.contig_lengths.shape[1]
-    E = NF * PF
 
     def tail(qi_idx, g_idx, numer, span_lo, span_hi, keep_e, qmn_e, qmx_e,
              rmn_e, rmx_e, meta_e):
@@ -701,12 +741,12 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         return out
 
     pair_ids = jnp.arange(P, dtype=jnp.int32)
-    return jax.vmap(tail)(
+    out = jax.vmap(tail)(
         pair_ids % G_q, pair_ids // G_q,
         numer.reshape(P, NF), span_lo.reshape(P, NF), span_hi.reshape(P, NF),
-        keep.reshape(P, E), scan["qmn"].reshape(P, E),
-        scan["qmx"].reshape(P, E), scan["rmn"].reshape(P, E),
-        scan["rmx"].reshape(P, E), meta_s.reshape(P, E))
+        end_valid, end_qmn, end_qmx, end_rmn, end_rmx, end_meta)
+    out["n_chains"] = n_chains
+    return out
 
 
 def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
@@ -903,22 +943,23 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
                                  rowid_s[1:] != rowid_s[:-1]])
     rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
     ok = valid_s & (rowid_s < P * NF) & (rank < PF)
-    row = jnp.where(ok, rowid_s, P * NF)
-    col = jnp.where(ok, rank, PF)
-
-    def grid_of(vals, fill):
-        g = jnp.full((P * NF + 1, PF + 1), fill, vals.dtype)
-        g = g.at[row, col].set(jnp.where(ok, vals, fill))
-        return g[:P * NF, :PF]
-
+    # one packed scatter builds all three grids: payload [A, 3] lands at
+    # flat slot row*(PF+1)+col; rejected anchors go to the dump slot at
+    # the end of the padded plane (sliced off by the reshape)
     meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
         | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
     meta = jnp.where(ok, meta, 0)
-    merged = {
-        "qpos": grid_of(qpos_s, I32_SENTINEL),
-        "rpos": grid_of(rpos_s, I32_SENTINEL),
-        "meta": grid_of(meta, 0),
-    }
+    flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
+    payload = jnp.stack([
+        jnp.where(ok, qpos_s, I32_SENTINEL),
+        jnp.where(ok, rpos_s, I32_SENTINEL),
+        meta], axis=1)
+    fills = jnp.broadcast_to(
+        jnp.array([I32_SENTINEL, I32_SENTINEL, 0], jnp.int32),
+        ((P * NF + 1) * (PF + 1), 3))
+    g = fills.at[flat].set(payload)
+    g = g.reshape(P * NF + 1, PF + 1, 3)[:P * NF, :PF]
+    merged = {"qpos": g[:, :, 0], "rpos": g[:, :, 1], "meta": g[:, :, 2]}
 
     scores, roots = _dp_dispatch(merged, cfg, budgets)
     out = _post_dp_block(refs, queries, merged, scores, roots, q_starts,

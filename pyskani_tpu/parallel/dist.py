@@ -131,6 +131,7 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
             "ani_mean": P("db", "batch"), "ani_robust": P("db", "batch"),
             "ani_median": P("db", "batch"), "af_query": P("db", "batch"),
             "af_ref": P("db", "batch"), "n_anchors": P("db", "batch"),
+            "n_chains": P("db", "batch"),
             "n_fragments": P("db", "batch"),
             "screen_pass": P("db", "batch"),
             "total_hits": P(),
