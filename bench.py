@@ -47,6 +47,9 @@ def make_genomes(n, length, seed=0):
 def main():
     import jax
 
+    from pyskani_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from pyskani_tpu.engine.batch import stack_sketches
     from pyskani_tpu.oracle.chain import ChainConfig
     from pyskani_tpu.ops.chain import EngineBudgets

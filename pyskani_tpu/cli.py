@@ -302,6 +302,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     rc = args.func(args)
     from .utils import profiling

@@ -142,18 +142,23 @@ def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
     return (count, *out)
 
 
-def _decode_ascii(ascii_codes: jax.Array) -> jax.Array:
-    """ASCII nucleotides -> 2-bit codes, branch-free (A/a=0, C/c=1, G/g=2,
-    T/t=3, everything else 0 — matches BYTE_TO_SEQ)."""
-    up = ascii_codes & jnp.uint8(0xDF)  # fold lowercase
-    return ((up == ord("C")) * 1 + (up == ord("G")) * 2 +
-            (up == ord("T")) * 3).astype(jnp.uint8)
+def encode_pack_host(raw: np.ndarray) -> np.ndarray:
+    """ASCII bytes -> 2-bit codes packed 4/byte (host side, vectorised).
+
+    Shrinks the host->device transfer 4x — significant through a remote
+    device tunnel.  Length must be a multiple of 4 (length buckets are).
+    """
+    codes = BYTE_TO_SEQ[raw]
+    q = codes.reshape(-1, 4)
+    return (q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) |
+            (q[:, 3] << 6)).astype(np.uint8)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "marker_k", "c", "marker_c",
                                              "seed_budget", "marker_budget"))
 def sketch_kernel(
-    ascii_codes: jax.Array,    # uint8 [L] concatenated contig bytes (padded)
+    packed_codes: jax.Array,   # uint8 [L//4] 2-bit codes, 4 bases per byte
+                               # (encode_pack_host; oldest base in bits 1:0)
     contig_starts: jax.Array,  # int32 [C+1] global start of each contig,
                                # with contig_starts[n_contigs] = total_len
     n_contigs: jax.Array,      # int32 []
@@ -163,16 +168,18 @@ def sketch_kernel(
 ):
     """All-positions FracMinHash scan + compaction for one genome.
 
-    Host ships only the raw sequence bytes; encoding, per-position contig
-    ids and in-contig positions are derived on device with scatter+scan
-    (no host-side 8N-byte index arrays, no large gathers).
+    Host ships 2-bit-packed sequence codes (4 bases/byte); per-position
+    contig ids and in-contig positions are derived on device with
+    scatter+scan (no host-side 8N-byte index arrays, no large gathers).
     """
     thr = u64.from_int((2**64 - 1) // c)
     mthr = u64.from_int((2**64 - 1) // marker_c)
-    L = ascii_codes.shape[0]
+    L = packed_codes.shape[0] * 4
     C = contig_starts.shape[0] - 1
 
-    codes = _decode_ascii(ascii_codes)
+    codes = ((packed_codes[:, None] >>
+              (jnp.arange(4, dtype=jnp.uint8) * 2)[None, :])
+             & jnp.uint8(3)).reshape(L)
     # contig id per position: +1 at every contig start, cumsum - 1;
     # the terminal start (== total_len) pushes the padding region to id
     # n_contigs, which the validity mask rejects.
@@ -294,7 +301,8 @@ def sketch_genome_device(
     sb = seed_budget or seed_budget_for(total, params.c)
     mb = marker_budget or marker_budget_for(total, params.marker_c)
     out = sketch_kernel(
-        jnp.asarray(raw), jnp.asarray(starts), jnp.int32(len(kept)),
+        jnp.asarray(encode_pack_host(raw)), jnp.asarray(starts),
+        jnp.int32(len(kept)),
         k=params.k, marker_k=params.marker_k, c=params.c,
         marker_c=params.marker_c, seed_budget=sb, marker_budget=mb)
 
@@ -353,16 +361,19 @@ def sketch_genomes_device(
         sb = seed_budget or seed_budget_for(max_total, params.c)
         mb = marker_budget or marker_budget_for(max_total, params.marker_c)
 
-        raw = np.zeros((B, L), dtype=np.uint8)
+        packed = np.zeros((B, L // 4), dtype=np.uint8)
         starts = np.zeros((B, max_contigs + 1), dtype=np.int32)
         ncon = np.zeros(B, dtype=np.int32)
+        raw = np.zeros(L, dtype=np.uint8)
         for b, (_, kept, _, _, _) in enumerate(group):
+            raw[:] = 0
             off = 0
             for i, contig in enumerate(kept):
                 n = len(contig)
-                raw[b, off:off + n] = np.frombuffer(contig, dtype=np.uint8)
+                raw[off:off + n] = np.frombuffer(contig, dtype=np.uint8)
                 starts[b, i] = off
                 off += n
+            packed[b] = encode_pack_host(raw)
             starts[b, len(kept):] = off
             ncon[b] = len(kept)
             if len(kept) > max_contigs:
@@ -372,7 +383,7 @@ def sketch_genomes_device(
             sketch_kernel, k=params.k, marker_k=params.marker_k,
             c=params.c, marker_c=params.marker_c,
             seed_budget=sb, marker_budget=mb)
-        res = jax.vmap(kern)(jnp.asarray(raw), jnp.asarray(starts),
+        res = jax.vmap(kern)(jnp.asarray(packed), jnp.asarray(starts),
                              jnp.asarray(ncon))
 
         for b, (name, kept, cnames, lengths, total) in enumerate(group):
