@@ -72,11 +72,12 @@ def main():
     jax.block_until_ready(warm[-1].device.kmers)
     sketch_mbps = 8 * GENOME_LEN / (time.time() - t0) / 1e6
 
-    # --- all-vs-all triangle, decomposed into block joins ---
+    # --- all-vs-all triangle: grouped single-sort self-joins ---
     import jax.numpy as jnp
 
-    from pyskani_tpu.engine.batch import take_sketch
-    from pyskani_tpu.ops.chain import chain_block
+    from pyskani_tpu.engine.batch import (max_triangle_group, take_sketch,
+                                          stack_sketches as _stack)
+    from pyskani_tpu.ops.chain import chain_block, chain_triangle, triu_pairs
 
     cfg = ChainConfig()
     batch = stack_sketches(sketches)
@@ -89,34 +90,54 @@ def main():
     ri, qi = np.triu_indices(N_GENOMES, k=1)
     n_pairs = len(ri)
 
-    # shared anchor pool per tile: ~pair count x typical anchors/pair
-    # (seed count bounds the anchors of a non-repetitive pair)
+    # shared anchor pool: ~pairs x typical anchors/pair (seed count bounds
+    # the anchors of a non-repetitive pair)
     app = round_up(batch.kmers.shape[1] * 3 // 4, 1024)
-    total_anchors = round_up(BLOCK * BLOCK * app, 8192)
-    tiles = []
-    for bi in range(0, N_GENOMES, BLOCK):
-        for bj in range(0, N_GENOMES, BLOCK):
-            if bj + BLOCK <= bi:
+    GROUP = max_triangle_group(budgets, min(32, N_GENOMES))
+    tri_tiles = []   # (pair ref ids, pair query ids, genome stack)
+    rect_tiles = []  # (ridx, qidx, ref stack, query stack)
+    starts = list(range(0, N_GENOMES, GROUP))
+    for a in starts:
+        gidx = np.arange(a, min(a + GROUP, N_GENOMES))
+        tr, tq = triu_pairs(len(gidx))
+        tri_tiles.append((gidx[tr], gidx[tq],
+                          take_sketch(batch, jnp.asarray(gidx)),
+                          round_up(len(tr) * app, 8192)))
+    rect_total = round_up(BLOCK * BLOCK * app, 8192)
+    for a in starts:
+        for b in starts:
+            if b <= a:
                 continue
-            ridx = np.arange(bi, min(bi + BLOCK, N_GENOMES))
-            qidx = np.arange(bj, min(bj + BLOCK, N_GENOMES))
-            rpad = np.concatenate([ridx, np.zeros(BLOCK - len(ridx), int)])
-            qpad = np.concatenate([qidx, np.zeros(BLOCK - len(qidx), int)])
-            tiles.append((ridx, qidx,
-                          take_sketch(batch, jnp.asarray(rpad)),
-                          take_sketch(batch, jnp.asarray(qpad))))
+            for bi in range(a, min(a + GROUP, N_GENOMES), BLOCK):
+                for bj in range(b, min(b + GROUP, N_GENOMES), BLOCK):
+                    ridx = np.arange(bi, min(bi + BLOCK, N_GENOMES))
+                    qidx = np.arange(bj, min(bj + BLOCK, N_GENOMES))
+                    rpad = np.concatenate(
+                        [ridx, np.full(BLOCK - len(ridx), ridx[0])])
+                    qpad = np.concatenate(
+                        [qidx, np.full(BLOCK - len(qidx), qidx[0])])
+                    rect_tiles.append((ridx, qidx,
+                                       take_sketch(batch, jnp.asarray(rpad)),
+                                       take_sketch(batch, jnp.asarray(qpad))))
 
     def run():
         # dispatch every tile asynchronously; fetch results once at the
         # end so host->device dispatch overlaps device compute
-        outs = [(ridx, qidx,
-                 chain_block(r, q, cfg=cfg, budgets=budgets,
-                             total_anchors=total_anchors)["ani_mean"])
-                for ridx, qidx, r, q in tiles]
+        outs = [(pr, pq,
+                 chain_triangle(g, cfg=cfg, budgets=budgets,
+                                total_anchors=ta)["ani_mean"], True)
+                for pr, pq, g, ta in tri_tiles]
+        outs += [(ridx, qidx,
+                  chain_block(r, q, cfg=cfg, budgets=budgets,
+                              total_anchors=rect_total)["ani_mean"], False)
+                 for ridx, qidx, r, q in rect_tiles]
         ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
-        for ridx, qidx, tile_ani in outs:
-            ani[np.ix_(ridx, qidx)] = \
-                np.asarray(tile_ani)[:len(ridx), :len(qidx)]
+        for pr, pq, tile_ani, is_tri in outs:
+            if is_tri:
+                ani[pr, pq] = np.asarray(tile_ani)
+            else:
+                ani[np.ix_(pr, pq)] = \
+                    np.asarray(tile_ani)[:len(pr), :len(pq)]
         return {"ani_mean": ani[ri, qi]}
 
     t0 = time.time()

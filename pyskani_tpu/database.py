@@ -357,7 +357,10 @@ class Database:
             ani = float(out[key][i])
             af_q = float(out["af_query"][i])
             af_r = float(out["af_ref"][i])
-            if model is not None and not median:
+            # the correction targets the MEAN estimator: the reference's
+            # golden robust/median values (test_ani.py:49-61) match the
+            # RAW trimmed-mean/median, so those modes stay uncorrected
+            if model is not None and not median and not robust:
                 ani = regression.apply_model(model, ani, af_q, af_r)
             # min_aligned_frac gate (CommandParams.min_aligned_frac =
             # 0.15, lib.rs:589-590); both_min_aligned_frac is -0.01

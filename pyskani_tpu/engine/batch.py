@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..oracle.chain import ChainConfig
-from ..ops.chain import EngineBudgets, chain_block, chain_pair, chain_pairs
+from ..ops.chain import (EngineBudgets, chain_block, chain_pair, chain_pairs,
+                         chain_triangle)
 from ..ops.sketch import DeviceSketch, HostSketch, round_up
 
 
@@ -138,14 +139,28 @@ def default_budgets(sketches: List[HostSketch], batch: DeviceSketch,
         max_anchors_per_fragment=256)
 
 
+def max_triangle_group(budgets: EngineBudgets, cap: int = 32) -> int:
+    """Largest genome-group size whose triangle fits the pair-grid limit
+    (pairs * max_fragments <= 2^17, see chain_triangle)."""
+    g = cap
+    while g > 2 and (g * (g - 1) // 2) * budgets.max_fragments > (1 << 17):
+        g -= 1
+    return g
+
+
 def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
-             budgets: EngineBudgets | None = None, block: int = 8,
-             anchors_per_pair: int | None = None):
+             budgets: EngineBudgets | None = None, block: int | None = None,
+             anchors_per_pair: int | None = None, group: int = 32):
     """All-vs-all ANI over a genome set (reference `skani triangle` mode).
 
-    Decomposed into [block x block] chain_block tiles covering the upper
-    triangle: each tile is one join sort + one DP for block^2 pairs.
-    ``anchors_per_pair`` sizes the tile's shared anchor pool (default:
+    Genomes are split into groups of up to ``group``: each group's
+    internal triangle runs as ONE chain_triangle call (single self-join
+    sort, no wasted grid rows), and each cross-group rectangle as
+    chain_block tiles of ``block`` x ``block`` (default: the group size,
+    shrunk to the pair-grid limit).  All tiles are dispatched before any
+    result is fetched, so host dispatch overlaps device compute.
+
+    ``anchors_per_pair`` sizes each call's shared anchor pool (default:
     the per-pair budget — exact chain_pairs parity at higher memory).
 
     Returns (ref_idx, query_idx, results-dict of numpy arrays) over the
@@ -156,29 +171,54 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
     batch = stack_sketches(sketches)
     if budgets is None:
         budgets = default_budgets(sketches, batch, cfg)
-    block = min(block, n)
+    group = max_triangle_group(budgets, min(group, n))
     app = anchors_per_pair or budgets.max_anchors
-    total_anchors = round_up(block * block * app, 8192)
+    if block is None:
+        # largest square cross tile within the same pair-grid limit
+        block = group
+        while block > 1 and block * block * budgets.max_fragments > (1 << 17):
+            block //= 2
+
+    starts = list(range(0, n, group))
+    pending = []  # (ridx, qidx, device-result dict of [.,.] or [P] arrays)
+    for a in starts:
+        gidx = np.arange(a, min(a + group, n))
+        out = chain_triangle(
+            take_sketch(batch, jnp.asarray(gidx)), cfg=cfg, budgets=budgets,
+            total_anchors=round_up(
+                len(gidx) * (len(gidx) - 1) // 2 * app, 8192))
+        tri_r, tri_q = np.triu_indices(len(gidx), k=1)
+        pending.append((gidx[tri_r], gidx[tri_q], out))
+    for a in starts:                        # cross-group rectangles
+        ridx_g = np.arange(a, min(a + group, n))
+        for b in starts:
+            if b <= a:
+                continue
+            qidx_g = np.arange(b, min(b + group, n))
+            for bi in range(0, len(ridx_g), block):
+                for bj in range(0, len(qidx_g), block):
+                    ridx = ridx_g[bi:bi + block]
+                    qidx = qidx_g[bj:bj + block]
+                    rpad = np.concatenate(
+                        [ridx, np.full(block - len(ridx), ridx[0])])
+                    qpad = np.concatenate(
+                        [qidx, np.full(block - len(qidx), qidx[0])])
+                    out = chain_block(
+                        take_sketch(batch, jnp.asarray(rpad)),
+                        take_sketch(batch, jnp.asarray(qpad)),
+                        cfg=cfg, budgets=budgets,
+                        total_anchors=round_up(block * block * app, 8192))
+                    rr, qq = np.meshgrid(ridx, qidx, indexing="ij")
+                    out = {k: v[:len(ridx), :len(qidx)].reshape(-1)
+                           for k, v in out.items()}
+                    pending.append((rr.reshape(-1), qq.reshape(-1), out))
 
     mats = {}
-    for bi in range(0, n, block):           # ref rows
-        for bj in range(0, n, block):       # query cols
-            if bj + block <= bi:
-                continue                    # tile entirely below diagonal
-            ridx = np.arange(bi, min(bi + block, n))
-            qidx = np.arange(bj, min(bj + block, n))
-            rpad = np.concatenate([ridx, np.zeros(block - len(ridx),
-                                                  np.int64)])
-            qpad = np.concatenate([qidx, np.zeros(block - len(qidx),
-                                                  np.int64)])
-            out = chain_block(take_sketch(batch, jnp.asarray(rpad)),
-                              take_sketch(batch, jnp.asarray(qpad)),
-                              cfg=cfg, budgets=budgets,
-                              total_anchors=total_anchors)
-            for key, val in out.items():
-                arr = np.asarray(val)[:len(ridx), :len(qidx)]
-                if key not in mats:
-                    mats[key] = np.zeros((n, n), arr.dtype)
-                mats[key][np.ix_(ridx, qidx)] = arr
+    for ridx, qidx, out in pending:         # fetch (device already running)
+        for key, val in out.items():
+            arr = np.asarray(val)
+            if key not in mats:
+                mats[key] = np.zeros((n, n), arr.dtype)
+            mats[key][ridx, qidx] = arr
     ri, qi = np.triu_indices(n, k=1)
     return ri, qi, {k: v[ri, qi] for k, v in mats.items()}

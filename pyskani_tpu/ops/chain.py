@@ -37,6 +37,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .sketch import DeviceSketch, I32_SENTINEL
 from ..oracle.chain import ChainConfig
@@ -549,8 +550,13 @@ def _seg_scan_stats(first: jax.Array, fields: dict) -> dict:
 def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
                    scores: jax.Array, roots: jax.Array, q_starts: jax.Array,
                    q_frag_offs: jax.Array, cfg: ChainConfig,
-                   budgets: EngineBudgets, G_r: int, G_q: int) -> dict:
-    """Per-chain statistics + estimators for a whole [G_r x G_q] block.
+                   budgets: EngineBudgets, tail_r: jax.Array,
+                   tail_q: jax.Array) -> dict:
+    """Per-chain statistics + estimators for a block of P pairs.
+
+    ``tail_r``/``tail_q`` [P] map each pair slot to its genome index in
+    ``refs``/``queries`` (row-major grid for chain_block, upper-triangle
+    list for chain_triangle).
 
     Replaces the vmapped per-pair scatter reductions (7 scatter ops over
     [NF, PF+1] grids — the dominant post-DP cost on TPU) with ONE sort of
@@ -570,7 +576,7 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     fl = cfg.fragment_length
     NF = budgets.max_fragments
     PF = budgets.max_anchors_per_fragment
-    P = G_r * G_q
+    P = tail_r.shape[0]
     R = P * NF
     ext_l, ext_r = cfg.extend_left, cfg.extend_right
 
@@ -740,9 +746,8 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
                 no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(Rci), 0.95))
         return out
 
-    pair_ids = jnp.arange(P, dtype=jnp.int32)
     out = jax.vmap(tail)(
-        pair_ids % G_q, pair_ids // G_q,
+        tail_q, tail_r,
         numer.reshape(P, NF), span_lo.reshape(P, NF), span_hi.reshape(P, NF),
         end_valid, end_qmn, end_qmx, end_rmn, end_rmx, end_meta)
     out["n_chains"] = n_chains
@@ -962,14 +967,215 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     merged = {"qpos": g[:, :, 0], "rpos": g[:, :, 1], "meta": g[:, :, 2]}
 
     scores, roots = _dp_dispatch(merged, cfg, budgets)
+    pair_ids = jnp.arange(P, dtype=jnp.int32)
     out = _post_dp_block(refs, queries, merged, scores, roots, q_starts,
-                         q_frag_offs, cfg, budgets, G_r, G_q)
+                         q_frag_offs, cfg, budgets,
+                         pair_ids // G_q, pair_ids % G_q)
     # per-pair anchor counts
     pair_clip = jnp.where(a["valid"], a["pair"], P)
     n_anchors = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
         a["valid"].astype(jnp.int32))[:P]
     out["n_anchors"] = n_anchors
     return jax.tree.map(lambda x: x.reshape((G_r, G_q) + x.shape[1:]), out)
+
+
+def triu_pairs(G: int):
+    """(ref_idx, query_idx) int32 arrays over the strict upper triangle,
+    in the same order chain_triangle emits its [P] outputs (ref < query,
+    row-major)."""
+    ri, qi = np.triu_indices(G, k=1)
+    return ri.astype("int32"), qi.astype("int32")
+
+
+def _triangle_self_join(gs: DeviceSketch, cfg: ChainConfig,
+                        total_anchors: int, q_frag_offs: jax.Array, NF: int):
+    """Anchors for EVERY unordered pair (i < j) of one genome stack from a
+    single self-join sort — each seed table enters one sort ONCE (the
+    blocked path re-sorts each genome's table in every tile it touches).
+
+    The stream holds one copy of every seed occurrence; within a k-mer
+    run, occurrences sort by genome id, so an occurrence acting as the
+    QUERY (genome j) expands against exactly the run prefix that belongs
+    to genomes i < j — the refs of all its upper-triangle pairs at once.
+    The i=j self-matches are excluded by the same prefix arithmetic, and
+    the per-pair multiplicity cap is enforced by the own-multiplicity
+    premask exactly as in _block_join (a k-mer's run length within one
+    genome IS its multiplicity there).
+
+    Each occurrence carries one payload word per role-independent fact:
+      pos   — in-contig k-mer end position (query AND ref role)
+      gcs   — g<<15 | cid<<1 | strand  (sort key 2: genome-major runs)
+      fragw — g*NF + fragment, or -1 if the fragment overflows NF
+    so the stream sort moves 4 operands and the expansion gathers two
+    3-word payload rows per anchor (one per role).
+    """
+    G, S = gs.kmers.shape
+    C = gs.contig_lengths.shape[1]
+    fl = cfg.fragment_length
+    cap = cfg.max_seed_multiplicity
+    SENT = jnp.uint32(0xFFFFFFFF)
+    kmer = jnp.where(gs.own_mult <= cap, gs.kmers, SENT).reshape(-1)
+    n = G * S
+    assert G < (1 << 15)
+
+    g_id = jnp.arange(n, dtype=jnp.int32) // S
+    cid = jnp.clip(gs.contig_ids.reshape(-1), 0, C - 1)
+    pos = gs.positions.reshape(-1)
+    gcs = (g_id << 15) | (cid.astype(jnp.int32) << 1) | \
+        gs.strands.reshape(-1).astype(jnp.int32)
+    flat = g_id * (C + 1) + cid
+    frag = q_frag_offs.reshape(-1)[flat] + pos // fl
+    fragw = jnp.where(frag < NF, g_id * NF + frag, -1)
+
+    kmer_s, gcs_s, pos_s, fragw_s = jax.lax.sort(
+        (kmer, gcs, pos, fragw), num_keys=2)
+
+    i = jnp.arange(n, dtype=jnp.int32)
+    first = jnp.concatenate([jnp.ones(1, bool), kmer_s[1:] != kmer_s[:-1]])
+    run_start = jax.lax.cummax(jnp.where(first, i, 0))
+    # first index of MY genome's group within the run: genome boundaries
+    # inside a run start a new group
+    gchg = jnp.concatenate([jnp.ones(1, bool),
+                            first[1:] | ((gcs_s[1:] >> 15) !=
+                                         (gcs_s[:-1] >> 15))])
+    gfirst = jax.lax.cummax(jnp.where(gchg, i, 0))
+    rc = gfirst - run_start          # entries of strictly-smaller genomes
+    is_sent = kmer_s == SENT
+    ok = (~is_sent) & (rc > 0) & (fragw_s >= 0)
+    counts = jnp.where(ok, rc, 0)
+    offs = jnp.cumsum(counts) - counts
+    total = jnp.minimum(offs[-1] + counts[-1], total_anchors)
+
+    A = total_anchors
+    t = jnp.arange(A, dtype=jnp.int32)
+    slot0 = jnp.where(ok, offs, A)
+    src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
+    src = jax.lax.cummax(src_map[:A])
+    src_first = jnp.concatenate([jnp.ones(1, bool), src[1:] != src[:-1]])
+    j = t - jax.lax.cummax(jnp.where(src_first, t, 0))
+    a_valid = t < total
+    rs_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
+        jnp.where(ok, run_start, 0))
+    r_idx = jnp.minimum(jax.lax.cummax(rs_map[:A]) + j, n - 1)
+
+    p3 = jnp.stack([pos_s, gcs_s, fragw_s], axis=1)      # [n, 3]
+    qp = p3[src]
+    rp = p3[r_idx]
+    qpos, qgcs, qfragw = qp[:, 0], qp[:, 1], qp[:, 2]
+    rpos, rgcs = rp[:, 0], rp[:, 1]
+
+    g_r = rgcs >> 15
+    g_q = qgcs >> 15
+    rcid = (rgcs >> 1) & 0x3FFF
+    qcid = (qgcs >> 1) & 0x3FFF
+    rev = (qgcs & 1) != (rgcs & 1)
+    a_valid = a_valid & (qfragw >= 0)
+    frag_a = jnp.maximum(qfragw, 0) - jnp.maximum(g_q, 0) * NF
+    # strict-upper-triangle pair index (ref = smaller genome id)
+    tri = g_r * G - (g_r * (g_r + 1)) // 2 + (g_q - g_r - 1)
+    P = (G * (G - 1)) // 2
+    tri = jnp.clip(tri, 0, P - 1)
+    rowid = tri * NF + jnp.clip(frag_a, 0, NF - 1)
+    return dict(
+        qpos=jnp.where(a_valid, qpos, I32_SENTINEL),
+        qcid=jnp.where(a_valid, qcid, I32_SENTINEL),
+        rowid=rowid,
+        rpos=jnp.where(a_valid, rpos, I32_SENTINEL),
+        rcid=jnp.where(a_valid, rcid, I32_SENTINEL),
+        rev=rev,
+        valid=a_valid,
+        pair=jnp.where(a_valid, tri, (1 << 30)),
+        n_anchors=total,
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "budgets", "total_anchors"))
+def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
+                   budgets: EngineBudgets,
+                   total_anchors: int | None = None):
+    """All unordered pairs of a genome stack: ONE join sort, ONE DP.
+
+    TPU-native `skani triangle` core (reference mode listed at
+    /root/reference/src/pyskani/_skani/lib.rs Mode::Search analogue; the
+    reference has no batched mode at all).  Versus tiling the triangle
+    with chain_block, the self-join sorts each seed table once instead of
+    once per tile, and no lower-triangle/diagonal grid rows are wasted:
+    pair p corresponds to (triu_pairs(G)[0][p], triu_pairs(G)[1][p]).
+
+    Returns a dict of [G*(G-1)/2] arrays, numerically identical to
+    chain_pair on each pair (pinned by tests/test_block_join.py).
+    """
+    _check_supported(cfg)
+    fl = cfg.fragment_length
+    NF = budgets.max_fragments
+    PF = budgets.max_anchors_per_fragment
+    G = genomes.kmers.shape[0]
+    P = (G * (G - 1)) // 2
+    if P * NF > (1 << 17):
+        raise ValueError(f"triangle too large: pairs*max_fragments = "
+                         f"{P * NF} exceeds 2^17 (split the genome set)")
+    if total_anchors is None:
+        total_anchors = P * budgets.max_anchors
+    C = genomes.contig_lengths.shape[1]
+
+    q_starts, q_frag_offs = jax.vmap(
+        lambda q: _contig_layout(q, fl))(genomes)        # [G, C+1]
+    a = _triangle_self_join(genomes, cfg, total_anchors, q_frag_offs, NF)
+    valid = a["valid"]
+    rowid = a["rowid"]
+
+    # sort by (rowid, rcid, rpos); qpos rides in payload 1, qcid in
+    # payload 2.  (rowid, rcid, rpos, qpos) is unique per anchor, so the
+    # 3-key order is total and deterministic.
+    k1 = jnp.where(valid, (rowid << 14) | a["rcid"], POS_BIG)
+    k2 = jnp.where(valid, a["rpos"], POS_BIG)
+    pay1 = jnp.where(
+        valid,
+        (a["qpos"].astype(jnp.uint32) << 2)
+        | (a["rev"].astype(jnp.uint32) << 1) | jnp.uint32(1),
+        jnp.uint32(0xFFFFFFFC))
+    pay2 = jnp.where(valid, a["qcid"], 0)
+    k1, k2, pay1, pay2 = jax.lax.sort((k1, k2, pay1, pay2), num_keys=3)
+
+    valid_s = (pay1 & 1) == 1
+    rev_s = (pay1 & 2) == 2
+    qpos_s = (pay1 >> 2).astype(jnp.int32)
+    rowid_s = jnp.where(valid_s, k1 >> 14, I32_SENTINEL)
+    rcid_s = k1 & 0x3FFF
+    rpos_s = k2
+    qcid_s = pay2
+
+    A = rowid_s.shape[0]
+    ii = jnp.arange(A, dtype=jnp.int32)
+    row_first = jnp.concatenate([jnp.ones(1, bool),
+                                 rowid_s[1:] != rowid_s[:-1]])
+    rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
+    ok = valid_s & (rowid_s < P * NF) & (rank < PF)
+    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
+        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
+    meta = jnp.where(ok, meta, 0)
+    flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
+    payload = jnp.stack([
+        jnp.where(ok, qpos_s, I32_SENTINEL),
+        jnp.where(ok, rpos_s, I32_SENTINEL),
+        meta], axis=1)
+    fills = jnp.broadcast_to(
+        jnp.array([I32_SENTINEL, I32_SENTINEL, 0], jnp.int32),
+        ((P * NF + 1) * (PF + 1), 3))
+    g = fills.at[flat].set(payload)
+    g = g.reshape(P * NF + 1, PF + 1, 3)[:P * NF, :PF]
+    merged = {"qpos": g[:, :, 0], "rpos": g[:, :, 1], "meta": g[:, :, 2]}
+
+    scores, roots = _dp_dispatch(merged, cfg, budgets)
+    tri_r, tri_q = triu_pairs(G)
+    out = _post_dp_block(genomes, genomes, merged, scores, roots, q_starts,
+                         q_frag_offs, cfg, budgets,
+                         jnp.asarray(tri_r), jnp.asarray(tri_q))
+    pair_clip = jnp.where(a["valid"], a["pair"], P)
+    out["n_anchors"] = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
+        a["valid"].astype(jnp.int32))[:P]
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "budgets"))

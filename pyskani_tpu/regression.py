@@ -10,9 +10,12 @@ This module implements GBDT inference as dense tensor ops (trees flattened
 to node arrays, evaluated by vectorised level-order descent — TPU/jit
 friendly).  The reference's trained model weights live inside the skani
 crate (not vendored here, and this environment has no network access), so
-``get_model`` returns None unless a weight file has been dropped at
-``pyskani_tpu/data/gbdt_model.json``; without a model, learned-ANI mode
-falls back to the raw estimate (a documented deviation — see README).
+the bundled model at ``pyskani_tpu/data/gbdt_model.json`` is RETRAINED
+from synthetic pairs with exactly-known ANI (scripts/train_learned_ani.py)
+rather than skani's MAG-trained weights: corrected values therefore differ
+from skani's learned mode by O(1e-3) (documented deviation — see README).
+If the file is removed, learned-ANI mode falls back to the raw estimate
+with a warning.
 
 Weight file schema (gbdt-rs compatible subset)::
 

@@ -64,17 +64,30 @@ def test_no_learned_ani_strict(hits_raw):
     assert round(hits_raw[0].reference_fraction - GOLD_AF_REF, 4) == 0
 
 
-@pytest.mark.xfail(reason="learned-ANI GBDT weights unavailable offline; "
-                          "falls back to raw estimate", strict=False)
+@pytest.mark.xfail(reason="the bundled learned-ANI model is retrained on "
+                          "synthetic truth (skani's MAG-trained weights are "
+                          "not redistributable offline), so the corrected "
+                          "value differs from skani's by O(1e-3)",
+                   strict=False)
 def test_learned_ani_strict(db, ecoli_k12):
     hits = db.query("K12", ecoli_k12, learned_ani=True)
     assert len(hits) == 1
     assert round(hits[0].identity - 0.9939, 4) == 0
 
 
-def test_default_mode_runs(db, ecoli_k12):
-    # default mode auto-enables learned ANI (c=125 >= 70); without bundled
-    # weights it falls back to the raw estimate with a warning
-    hits = db.query("K12", ecoli_k12)
+def test_learned_ani_close(db, ecoli_k12):
+    # retrained correction must stay within 2e-3 of skani's learned golden
+    hits = db.query("K12", ecoli_k12, learned_ani=True)
     assert len(hits) == 1
     _check_af(hits[0], 5e-4)
+    assert hits[0].identity == pytest.approx(0.9939, abs=2e-3)
+
+
+def test_default_mode_runs(db, ecoli_k12):
+    # default mode auto-enables learned ANI (c=125 >= 70) using the
+    # bundled retrained model; must equal an explicit learned_ani=True
+    hits = db.query("K12", ecoli_k12)
+    learned = db.query("K12", ecoli_k12, learned_ani=True)
+    assert len(hits) == 1
+    _check_af(hits[0], 5e-4)
+    assert hits[0].identity == learned[0].identity

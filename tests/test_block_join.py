@@ -14,7 +14,8 @@ import pytest
 from conftest import mutate, random_genome
 from pyskani_tpu.engine.batch import stack_sketches, take_sketch
 from pyskani_tpu.oracle.chain import ChainConfig
-from pyskani_tpu.ops.chain import EngineBudgets, chain_block, chain_pair
+from pyskani_tpu.ops.chain import (EngineBudgets, chain_block, chain_pair,
+                                   chain_triangle, triu_pairs)
 from pyskani_tpu.ops.sketch import sketch_genome_device
 from pyskani_tpu.params import SketchParams
 
@@ -76,6 +77,38 @@ def test_block_shapes_and_padding(family):
                         cfg=CFG, budgets=BUDGETS)
     np.testing.assert_allclose(np.asarray(out["ani_mean"])[0, 0],
                                np.asarray(single["ani_mean"]), atol=1e-6)
+
+
+def test_triangle_matches_pairwise(family):
+    """chain_triangle (single self-join sort over the whole stack) must
+    equal chain_pair on every unordered pair, including the multi-contig
+    and unrelated genomes."""
+    n = family.kmers.shape[0]
+    out = jax.jit(lambda g: chain_triangle(
+        g, cfg=CFG, budgets=BUDGETS))(family)
+    ri, qi = triu_pairs(n)
+    assert out["ani_mean"].shape == (n * (n - 1) // 2,)
+    for p in range(len(ri)):
+        ref = take_sketch(family, int(ri[p]))
+        qry = take_sketch(family, int(qi[p]))
+        single = chain_pair(ref, qry, cfg=CFG, budgets=BUDGETS)
+        for key in ("ani_mean", "ani_robust", "ani_median",
+                    "af_query", "af_ref"):
+            np.testing.assert_allclose(
+                np.asarray(out[key])[p], np.asarray(single[key]),
+                rtol=0, atol=1e-6,
+                err_msg=f"{key} mismatch for pair ({ri[p]},{qi[p]})")
+        assert int(np.asarray(out["n_anchors"])[p]) == \
+            int(np.asarray(single["n_anchors"])), f"anchors ({ri[p]},{qi[p]})"
+        assert int(np.asarray(out["n_fragments"])[p]) == \
+            int(np.asarray(single["n_fragments"])), f"frags ({ri[p]},{qi[p]})"
+
+
+def test_triangle_too_large_rejected(family):
+    big = EngineBudgets(max_anchors=1024, max_fragments=1 << 16,
+                        max_anchors_per_fragment=64)
+    with pytest.raises(ValueError, match="triangle too large"):
+        chain_triangle(family, cfg=CFG, budgets=big)
 
 
 def test_block_too_large_rejected(family):
