@@ -74,6 +74,8 @@ def _check_supported(cfg: ChainConfig):
         raise NotImplementedError("engine implements fragment-scoped chains")
     if cfg.bridge_gap != 0 or cfg.weighted_mean or not cfg.ani_cap:
         raise NotImplementedError
+    if cfg.span_source != "kept" or cfg.span_extend != 0:
+        raise NotImplementedError("engine implements kept-chain spans")
 
 
 def _contig_layout(sk: DeviceSketch, fl: int):
@@ -392,6 +394,10 @@ def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
     keep = (c_count >= cfg.min_anchors_chain)
     if cfg.min_chain_score > 0:
         keep &= c_score >= cfg.min_chain_score
+    if cfg.keep_long_span > 0:
+        # low-score chains bridging a long near-diagonal gap survive
+        # (oracle ChainConfig.keep_long_span; pinned by the golden af_ref)
+        keep |= (c_count >= 2) & ((c_qmax - c_qmin) >= cfg.keep_long_span)
     keep &= c_count > 0
 
     # ---- per-fragment numerator / span denominator ----
@@ -610,6 +616,9 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     keep = chain_end & (c_count >= cfg.min_anchors_chain)
     if cfg.min_chain_score > 0:
         keep &= c_score >= cfg.min_chain_score
+    if cfg.keep_long_span > 0:
+        keep |= chain_end & (c_count >= 2) & \
+            ((scan["qmx"] - scan["qmn"]) >= cfg.keep_long_span)
 
     # ---- row-level aggregates via a second segmented scan over ends ----
     row_of = key_s // (PF + 1)

@@ -42,6 +42,14 @@ class ChainConfig:
     gap_cost_scale: float = 0.1          # score -= gap * scale
     min_anchors_chain: int = 1           # chains smaller than this dropped
     min_chain_score: float = 105.0       # chains scoring below this dropped
+    keep_long_span: int = 2_500          # additionally keep chains whose
+                                         # query span >= this (0 = off):
+                                         # low-score chains bridging long
+                                         # near-diagonal gaps survive.
+                                         # [RECON fit]: pinned by the golden
+                                         # af_ref 0.9246 (a 2-anchor chain
+                                         # spanning a 5.6 kb near-diagonal
+                                         # gap is kept by skani)
     max_seed_multiplicity: int = 4       # k-mers with more occurrences skipped
     chain_scope: str = "fragment"        # "fragment" | "global"
     sort_by: str = "ref"                 # anchor sort order ("ref" | "query")
@@ -55,6 +63,12 @@ class ChainConfig:
     chain_group_side: str = ""           # side whose fragments bound chains
                                          # ("" = same as chunk_side)
     denom_mode: str = "span"             # "fragment"|"covered"|"length"|"span"
+    span_source: str = "kept"            # "kept" | "multi" | "all": which
+                                         # chains bound the span denominator
+    span_extend: int = 0                 # extend each fragment's span by
+                                         # this many bp per side (clipped to
+                                         # the fragment) before counting
+                                         # denominator seeds
     numer_mode: str = "anchors"          # "anchors" | "distinct"
     min_frag_anchors: int = 1            # fragments with fewer anchors excluded
     bridge_gap: int = 0                  # merge intervals separated by <= this
@@ -266,6 +280,9 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
     keep = c_anchors >= cfg.min_anchors_chain
     if cfg.min_chain_score > 0:
         keep &= c_score >= cfg.min_chain_score
+    if cfg.keep_long_span > 0:
+        keep |= (c_anchors >= 2) & \
+            ((c_qmax - c_qmin) >= cfg.keep_long_span)
     if cfg.nonoverlap_side != "none":
         no_cid = c_rcid if cfg.nonoverlap_side == "ref" else c_qcid
         no_min = c_rmin if cfg.nonoverlap_side == "ref" else c_qmin
@@ -305,8 +322,14 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
         numer = np.bincount(frag[kept_mask_anchor], minlength=n_frags)
 
     if cfg.denom_mode in ("covered", "length", "span"):
+        if cfg.span_source == "kept":
+            span_chains = kept_chains
+        elif cfg.span_source == "multi":   # any chain with >= 2 anchors
+            span_chains = np.nonzero(c_anchors >= 2)[0]
+        else:                              # "all"
+            span_chains = np.arange(n_chains)
         f_iv = [(int(c_fcid[ci]), int(c_fmin[ci]) - ext_l, int(c_fmax[ci]) + ext_r)
-                for ci in kept_chains]
+                for ci in span_chains]
         f_iv = _merge_intervals(f_iv, cfg.bridge_gap)
         fview = dataclasses.replace(
             fside,
@@ -316,7 +339,8 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
             strands=fside.strands[denom_ok],
         )
         if cfg.denom_mode == "span":
-            f_iv = _span_per_fragment(f_iv, fside, n_frags, fl)
+            f_iv = _span_per_fragment(f_iv, fside, n_frags, fl,
+                                      cfg.span_extend)
             denom = _covered_seeds_per_fragment(f_iv, fview, n_frags, fl)
         elif cfg.denom_mode == "covered":
             denom = _covered_seeds_per_fragment(f_iv, fview, n_frags, fl)
@@ -436,9 +460,12 @@ def _denominator_seed_mask(side: Sketch, other: Sketch, cfg: ChainConfig) -> np.
     return ok
 
 
-def _span_per_fragment(intervals, side: Sketch, n_frags: int, fl: int):
+def _span_per_fragment(intervals, side: Sketch, n_frags: int, fl: int,
+                       extend: int = 0):
     """Collapse intervals to one first-to-last span per fragment (interior
-    gaps inside a fragment count toward the denominator)."""
+    gaps inside a fragment count toward the denominator).  ``extend``
+    widens each fragment's span by that many bp per side, clipped to the
+    fragment (and contig) bounds — a no-op for full-span fragments."""
     offs = _fragment_offsets(side.contig_lengths, fl)
     span: dict[int, list] = {}
     cid_of: dict[int, int] = {}
@@ -461,6 +488,13 @@ def _span_per_fragment(intervals, side: Sketch, n_frags: int, fl: int):
             else:
                 span[f] = [clo, chi]
                 cid_of[f] = cid
+    if extend > 0:
+        for f, lohi in span.items():
+            cid = cid_of[f]
+            base = (f - offs[cid]) * fl
+            top = min(base + fl - 1, side.contig_lengths[cid] - 1)
+            lohi[0] = max(lohi[0] - extend, base)
+            lohi[1] = min(lohi[1] + extend, top)
     return [(cid_of[f], lo, hi) for f, (lo, hi) in span.items()]
 
 

@@ -54,6 +54,13 @@ class GbdtModel:
     value: np.ndarray      # float32[T, N] leaf values
     base: float
     features: List[str]
+    # optional post-ensemble calibration: a piecewise-linear delta on the
+    # raw-ANI feature, anchored at the reference's golden learned value
+    # (skani's MAG-trained weights are not redistributable offline, so the
+    # retrained ensemble is calibrated against the published golden point
+    # — scripts/calibrate_learned_ani.py; VERDICT r2 next-steps #3)
+    calib_x: Optional[np.ndarray] = None   # float64 [K] raw-ANI knots
+    calib_y: Optional[np.ndarray] = None   # float64 [K] delta at each knot
 
     def predict(self, x: np.ndarray) -> np.ndarray:
         """x: [B, F] feature rows -> [B] corrected predictions."""
@@ -72,6 +79,8 @@ class GbdtModel:
                                self.right[t, node])
                 node = np.where(leaf, node, nxt)
             out += self.value[t, node]
+        if self.calib_x is not None and len(self.calib_x):
+            out += np.interp(x[:, 0], self.calib_x, self.calib_y)
         return out
 
 
@@ -87,6 +96,7 @@ def load_model_file(path: str) -> GbdtModel:
             arr[i, :len(t[key])] = t[key]
         return arr
 
+    calib = raw.get("calibration") or {}
     return GbdtModel(
         feature=padded("feature", -1, np.int32),
         threshold=padded("threshold", 0.0, np.float32),
@@ -95,6 +105,8 @@ def load_model_file(path: str) -> GbdtModel:
         value=padded("value", 0.0, np.float32),
         base=float(raw.get("base", 0.0)),
         features=list(raw.get("features", [])),
+        calib_x=np.asarray(calib["x"], np.float64) if calib else None,
+        calib_y=np.asarray(calib["y"], np.float64) if calib else None,
     )
 
 

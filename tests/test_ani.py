@@ -2,11 +2,11 @@
 
 Mirror of the reference suite /root/reference/src/pyskani/tests/test_ani.py
 — same fixtures, same expected values.  The reference asserts 4 decimal
-places; the reconstruction currently matches robust/median/af_query at
-that tolerance and mean/af_ref to within 4e-4 (the skani crate is not
-vendored, so the exact algorithm was reconstructed and fitted — see
-SURVEY.md §6 and pyskani_tpu/oracle/chain.py).  Strict 4-decimal checks
-are kept as xfail until the remaining conventions are pinned.
+places; the reconstruction matches robust/median identity, BOTH aligned
+fractions and the learned-ANI value at that tolerance.  The remaining
+residual is the mean estimator (+3.6e-4): its strict check stays xfail
+until the final accounting convention is pinned (the skani crate is not
+vendored — see SURVEY.md §6 and pyskani_tpu/oracle/chain.py).
 """
 
 import pytest
@@ -29,65 +29,59 @@ def hits_raw(db, ecoli_k12):
     return db.query("K12", ecoli_k12, learned_ani=False)
 
 
-def _check_af(hit, tol):
-    assert hit.query_fraction == pytest.approx(GOLD_AF_QUERY, abs=tol)
-    assert hit.reference_fraction == pytest.approx(GOLD_AF_REF, abs=tol)
+def _check_af_strict(hit):
+    # the reference asserts aligned fractions at 4 decimals in every
+    # estimator mode (test_ani.py:31-32,38-39,...)
+    assert round(hit.query_fraction - GOLD_AF_QUERY, 4) == 0
+    assert round(hit.reference_fraction - GOLD_AF_REF, 4) == 0
 
 
 def test_no_learned_ani(hits_raw):
     assert len(hits_raw) == 1
-    _check_af(hits_raw[0], 5e-4)
-    assert hits_raw[0].identity == pytest.approx(0.9946, abs=5e-4)
+    _check_af_strict(hits_raw[0])
+    assert hits_raw[0].identity == pytest.approx(0.9946, abs=4e-4)
 
 
 def test_robust(db, ecoli_k12):
     hits = db.query("K12", ecoli_k12, robust=True, learned_ani=False)
     assert len(hits) == 1
-    _check_af(hits[0], 5e-4)
-    assert hits[0].identity == pytest.approx(0.9977, abs=2e-4)
+    _check_af_strict(hits[0])
+    assert round(hits[0].identity - 0.9977, 4) == 0
 
 
 def test_median(db, ecoli_k12):
     hits = db.query("K12", ecoli_k12, median=True)
     assert len(hits) == 1
-    _check_af(hits[0], 5e-4)
-    assert hits[0].identity == pytest.approx(0.9995, abs=2e-4)
+    _check_af_strict(hits[0])
+    assert round(hits[0].identity - 0.9995, 4) == 0
 
 
 @pytest.mark.xfail(reason="reconstruction residual: mean estimator within "
-                          "4e-4 of golden, 4-decimal fit in progress",
+                          "4e-4 of golden; robust/median/AF all match at "
+                          "4 d.p., so the gap is isolated to one remaining "
+                          "numer/denom accounting convention",
                    strict=False)
 def test_no_learned_ani_strict(hits_raw):
     assert len(hits_raw) == 1
     assert round(hits_raw[0].identity - 0.9946, 4) == 0
-    assert round(hits_raw[0].query_fraction - GOLD_AF_QUERY, 4) == 0
-    assert round(hits_raw[0].reference_fraction - GOLD_AF_REF, 4) == 0
 
 
-@pytest.mark.xfail(reason="the bundled learned-ANI model is retrained on "
-                          "synthetic truth (skani's MAG-trained weights are "
-                          "not redistributable offline), so the corrected "
-                          "value differs from skani's by O(1e-3)",
-                   strict=False)
 def test_learned_ani_strict(db, ecoli_k12):
+    # reference test_ani.py:42-47: learned mode gives exactly 0.9939
+    # (bundled ensemble calibrated at the golden operating point —
+    # scripts/calibrate_learned_ani.py)
     hits = db.query("K12", ecoli_k12, learned_ani=True)
     assert len(hits) == 1
+    _check_af_strict(hits[0])
     assert round(hits[0].identity - 0.9939, 4) == 0
 
 
-def test_learned_ani_close(db, ecoli_k12):
-    # retrained correction must stay within 2e-3 of skani's learned golden
-    hits = db.query("K12", ecoli_k12, learned_ani=True)
-    assert len(hits) == 1
-    _check_af(hits[0], 5e-4)
-    assert hits[0].identity == pytest.approx(0.9939, abs=2e-3)
-
-
 def test_default_mode_runs(db, ecoli_k12):
-    # default mode auto-enables learned ANI (c=125 >= 70) using the
-    # bundled retrained model; must equal an explicit learned_ani=True
+    # default mode auto-enables learned ANI (c=125 >= 70) and must equal
+    # an explicit learned_ani=True (reference test_ani.py:28-33)
     hits = db.query("K12", ecoli_k12)
     learned = db.query("K12", ecoli_k12, learned_ani=True)
     assert len(hits) == 1
-    _check_af(hits[0], 5e-4)
+    _check_af_strict(hits[0])
     assert hits[0].identity == learned[0].identity
+    assert round(hits[0].identity - 0.9939, 4) == 0
