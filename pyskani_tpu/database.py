@@ -27,7 +27,7 @@ from .db.storage import (ConsolidatedStorage, FolderStorage, MarkerSketch,
 from .ops.chain import EngineBudgets
 from .ops.screen import screen_batch
 from .ops.sketch import HostSketch, round_up, sketch_genome_device
-from .params import (MIN_ANI_KEEP, D_FRAC_COVER_CUTOFF,
+from .params import (MIN_ANI_KEEP, CommandParams,
                      SEARCH_ANI_CUTOFF_DEFAULT, SketchParams)
 
 _Sequence = Union[str, bytes, bytearray, memoryview]
@@ -45,7 +45,12 @@ def _as_bytes(contig: _Sequence) -> bytes:
 
 class Sketch:
     """A sketched genome (parity with the reference Sketch pyclass,
-    sketch.rs:4-38: name/c/amino_acid getters, no public constructor)."""
+    sketch.rs:4-38: name/c/amino_acid getters, no public constructor).
+
+    Instances wrap the engine's :class:`HostSketch`; ``Database`` holds
+    one per sketched genome (``Database._sketch`` returns them, mirroring
+    the reference's internal ``_sketch`` at lib.rs:140-185).
+    """
 
     def __init__(self, host_sketch: HostSketch, c: int, amino_acid: bool = False):
         self._host = host_sketch
@@ -63,6 +68,18 @@ class Sketch:
     @property
     def amino_acid(self) -> bool:
         return self._amino_acid
+
+    def __repr__(self) -> str:
+        return f"<Sketch name={self.name!r} c={self.c}>"
+
+
+def _chain_cfg_for(params: SketchParams) -> ChainConfig:
+    """Chain config derived from the sketch params: the ANI exponent is
+    1/k and chain intervals extend by k-1 (the un-hashed tail of the
+    terminal k-mer)."""
+    import dataclasses
+    return dataclasses.replace(ChainConfig(), k=params.k,
+                               extend_right=params.k - 1)
 
 
 def _pow2_chunk(n: int, cap: int = 16) -> int:
@@ -90,7 +107,7 @@ class Database:
         self._params = SketchParams(c=compression,
                                     marker_c=marker_compression, k=k)
         self._markers: List[MarkerSketch] = []
-        self._chain_cfg = ChainConfig()
+        self._chain_cfg = _chain_cfg_for(self._params)
         self._screen_cache = None
         self._stack_cache = None
         if path is None:
@@ -127,7 +144,7 @@ class Database:
         self = cls.__new__(cls)
         self._params = params
         self._markers = markers
-        self._chain_cfg = ChainConfig()
+        self._chain_cfg = _chain_cfg_for(params)
         self._screen_cache = None
         self._stack_cache = None
         if (folder / "index.db").exists() and (folder / "sketches.db").exists():
@@ -175,13 +192,23 @@ class Database:
 
     def sketch(self, name: str, *contigs: _Sequence, seed: bool = True) -> None:
         """Add a reference genome to the database (reference
-        lib.rs:466-510)."""
-        data = [_as_bytes(c) for c in contigs]
+        lib.rs:466-510).
+
+        ``seed=False`` skips seed-position recording (reference
+        lib.rs:474-475): the sketch screens normally but cannot be
+        chained, so queries will never report it as a hit.
+        """
+        self._sketch(name, [_as_bytes(c) for c in contigs], seed)
+
+    def _sketch(self, name: str, data, seed: bool = True) -> Sketch:
+        """Sketch + register one genome; returns the Sketch wrapper
+        (mirror of the reference's internal ``_sketch``, lib.rs:140-185)."""
         with profiling.scope("sketch"):
-            host = sketch_genome_device(name, data, self._params)
+            host = sketch_genome_device(name, data, self._params, seed=seed)
         if profiling.enabled():
             profiling.stats().add("bases_sketched", sum(map(len, data)))
         self._register_sketch(host)
+        return Sketch(host, self._params.c)
 
     def sketch_many(self, named_contigs) -> None:
         """Add many reference genomes with batched device dispatches.
@@ -274,14 +301,20 @@ class Database:
         """
         data = [_as_bytes(c) for c in contigs]
         with profiling.scope("sketch"):
-            query = sketch_genome_device(name, data, self._params)
+            query = sketch_genome_device(name, data, self._params, seed=seed)
         if profiling.enabled():
             profiling.stats().add("bases_sketched", sum(map(len, data)))
 
-        screen_val = cutoff if cutoff is not None else SEARCH_ANI_CUTOFF_DEFAULT
         learned = learned_ani if learned_ani is not None else \
             regression.use_learned_ani(self._params.c, False, False, median)
-        model = regression.get_model(self._params.c, learned)
+        # fixed Search-mode command surface (reference lib.rs:573-601)
+        cmd = CommandParams(
+            screen_val=(cutoff if cutoff is not None
+                        else SEARCH_ANI_CUTOFF_DEFAULT),
+            robust=robust, median=median, learned_ani=learned,
+            rescue_small=not faster_small, est_ci=est_ci)
+        screen_val = cmd.screen_val
+        model = regression.get_model(self._params.c, cmd.learned_ani)
 
         hits: List[Hit] = []
         if not self._markers:
@@ -294,7 +327,8 @@ class Database:
             passes, _ = screen_batch(
                 qdev.markers_hi, qdev.markers_lo, qdev.n_markers,
                 hi, lo, counts, screen_val,
-                marker_k=self._params.marker_k, rescue_small=not faster_small)
+                marker_k=self._params.marker_k,
+                rescue_small=cmd.rescue_small)
             passes = np.asarray(passes)
         if profiling.enabled():
             profiling.stats().add("refs_screened", len(self._markers))
@@ -313,7 +347,7 @@ class Database:
         # in double-buffered chunks, so memory stays bounded and the
         # lazy `open()` contract holds (the reference instead loads each
         # sketch serially inside the pair loop, lib.rs:639-657).
-        maf = D_FRAC_COVER_CUTOFF
+        maf = cmd.min_aligned_frac
         from .engine.batch import one_vs_many, repad_sketch
 
         budgets = self._budgets_for(query, None)

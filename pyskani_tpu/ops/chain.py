@@ -1227,5 +1227,6 @@ def chain_pair(ref: DeviceSketch, query: DeviceSketch, *,
 
 
 def cfg_k(query: DeviceSketch, cfg: ChainConfig) -> float:
-    # k is carried statically by the engine config (SketchParams.k = 15)
-    return 15.0
+    # k is carried statically by the engine config (ChainConfig.k;
+    # Database threads SketchParams.k through, default 15)
+    return float(cfg.k)

@@ -118,6 +118,56 @@ def _rolling_windows(codes: jax.Array):
     return fwd15, rev15, m_f, m_r
 
 
+def _rollu(a: u64.U64, n: int) -> u64.U64:
+    return u64.U64(jnp.roll(a.hi, n), jnp.roll(a.lo, n))
+
+
+def _canonical_u64(fwd: u64.U64, rev: u64.U64) -> u64.U64:
+    is_fwd = u64.lt(fwd, rev)
+    return u64.U64(jnp.where(is_fwd, fwd.hi, rev.hi),
+                   jnp.where(is_fwd, fwd.lo, rev.lo))
+
+
+def _windows_generic(codes: jax.Array, k: int):
+    """(fwd, rev) U64 k-mer windows ending at each position, any k <= 32.
+
+    Log-doubling with binary composition: power-of-two windows are built
+    by doubling (w_{2n}[i] combines w_n[i] and w_n[i-n]), then k is
+    assembled from its binary decomposition — O(log k) vector ops instead
+    of k per-base accumulations.  Bit layout matches the oracle
+    (pyskani_tpu.oracle.seeding.rolling_kmers): forward packs the newest
+    base in the low bits; reverse complement packs the newest base's
+    complement in the high bits.
+    """
+    assert 1 <= k <= 32
+    c = codes.astype(jnp.uint32)
+    pows = []                       # (n, fwd_n, rev_n)
+    f = u64.from_u32(c)
+    r = u64.from_u32(jnp.uint32(3) - c)
+    n = 1
+    while True:
+        pows.append((n, f, r))
+        if 2 * n > k:
+            break
+        f = u64.or_(u64.shl(_rollu(f, n), 2 * n), f)
+        r = u64.or_(u64.shl(r, 2 * n), _rollu(r, n))
+        n *= 2
+    # compose: acc holds the newest `width` bases; prepend older chunks
+    acc_f = acc_r = None
+    width = 0
+    for n, pf, pr in reversed(pows):
+        if width + n > k:
+            continue
+        if acc_f is None:
+            acc_f, acc_r = pf, pr
+        else:
+            acc_f = u64.or_(u64.shl(_rollu(pf, width), 2 * width), acc_f)
+            acc_r = u64.or_(u64.shl(acc_r, 2 * n), _rollu(pr, width))
+        width += n
+    assert width == k
+    return acc_f, acc_r
+
+
 def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
              sentinels: Sequence) -> tuple:
     """Gather ``arrays`` at positions where ``mask`` is set, padded to
@@ -196,18 +246,41 @@ def sketch_kernel(
     valid_pos = contig_id < n_contigs
     contig_id = jnp.where(valid_pos, contig_id, -1)
 
-    assert k == 15 and marker_k == 21, \
-        "the fused rolling scheme is specialised to k=15 / marker_k=21"
-    fwd, rev, mfwd, mrev = _rolling_windows(codes)
-    strand = fwd < rev
-    canon = jnp.where(strand, fwd, rev)
-    h = u64.mm_hash64(u64.from_u32(canon))
+    if k == 15 and marker_k == 21:
+        # fused fast path: seed and marker windows share the doubling
+        # intermediates in pure u32 lanes (the defaults, lib.rs:369)
+        fwd, rev, mfwd, mrev = _rolling_windows(codes)
+        strand = fwd < rev
+        canon = jnp.where(strand, fwd, rev)
+        h = u64.mm_hash64(u64.from_u32(canon))
+        mcanon = _canonical_u64(mfwd, mrev)
+    else:
+        if not (4 <= k <= 32 and 4 <= marker_k <= 32):
+            raise ValueError(f"k={k} / marker_k={marker_k} outside the "
+                             f"supported [4, 32] range")
+        fU, rU = _windows_generic(codes, k)
+        strand = u64.lt(fU, rU)
+        canonU = _canonical_u64(fU, rU)
+        h = u64.mm_hash64(canonU)
+        if 2 * k <= 32:
+            canon = canonU.lo
+        else:
+            # k > 16: the seed table carries a 32-bit key; use the low
+            # hash word as a fingerprint (uniform; equal k-mers map
+            # equal).  Cross-k-mer collisions are ~N^2/2^33 per sketch
+            # (~0.2 for a 5 Mbp genome) and isolated false anchors are
+            # discarded by the chain filters.  0xFFFFFFFF is remapped so
+            # the padding sentinel stays unambiguous.
+            canon = jnp.where(h.lo == U32_SENTINEL,
+                              jnp.uint32(0xFFFFFFFE), h.lo)
+        if marker_k == k:
+            mcanon = canonU           # oracle: marker set reuses canon
+        else:
+            mfU, mrU = _windows_generic(codes, marker_k)
+            mcanon = _canonical_u64(mfU, mrU)
     valid_seed = (contig_id >= 0) & (pos_in_contig >= k - 1)
     seed_mask = valid_seed & u64.lt(h, thr)
 
-    m_is_fwd = u64.lt(mfwd, mrev)
-    mcanon = u64.U64(jnp.where(m_is_fwd, mfwd.hi, mrev.hi),
-                     jnp.where(m_is_fwd, mfwd.lo, mrev.lo))
     mh = u64.mm_hash64(mcanon)
     valid_marker = (contig_id >= 0) & (pos_in_contig >= marker_k - 1)
     marker_mask = valid_marker & u64.lt(mh, mthr)
@@ -254,6 +327,26 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _blank_seed_table(dev: "DeviceSketch") -> "DeviceSketch":
+    """Drop the seed-position table (``seed=False`` sketches record only
+    markers + metadata; reference lib.rs:474-475: "Compute seed positions
+    while sketching").  Such sketches screen normally but produce no
+    anchors when chained."""
+    S = dev.seed_budget
+    return dataclasses.replace(
+        dev,
+        kmers=jnp.full((S,), 0xFFFFFFFF, jnp.uint32),
+        positions=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
+        contig_ids=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
+        strands=jnp.zeros((S,), bool),
+        own_mult=jnp.zeros((S,), jnp.int32),
+        p_positions=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
+        p_contig_ids=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
+        p_own_mult=jnp.zeros((S,), jnp.int32),
+        n_seeds=jnp.int32(0),
+    )
+
+
 def seed_budget_for(total_len: int, c: int) -> int:
     """Default seed-table budget: mean + generous slack, lane aligned."""
     expect = max(total_len // c, 256)
@@ -273,6 +366,7 @@ def sketch_genome_device(
     marker_budget: int | None = None,
     length_bucket: int = 1 << 20,
     max_contigs: int = 256,
+    seed: bool = True,
 ) -> "HostSketch":
     """Host wrapper: encode contigs, pad, run the device kernel.
 
@@ -320,6 +414,8 @@ def sketch_genome_device(
         n_contigs=jnp.int32(len(lengths)),
         total_len=jnp.int32(total),
     )
+    if not seed:
+        dev = _blank_seed_table(dev)
     return HostSketch(name=name, contig_names=contig_names, device=dev,
                       lengths=lengths)
 
@@ -332,6 +428,7 @@ def sketch_genomes_device(
     length_bucket: int = 1 << 20,
     max_contigs: int = 256,
     device_batch: int = 8,
+    seed: bool = True,
 ) -> List["HostSketch"]:
     """Sketch MANY genomes with vmapped kernel dispatches.
 
@@ -403,6 +500,8 @@ def sketch_genomes_device(
                 n_contigs=jnp.int32(len(lengths)),
                 total_len=jnp.int32(total),
             )
+            if not seed:
+                dev = _blank_seed_table(dev)
             out.append(HostSketch(name=name, contig_names=cnames, device=dev,
                                   lengths=lengths))
     return out

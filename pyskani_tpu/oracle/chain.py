@@ -35,6 +35,9 @@ from .seeding import Sketch
 class ChainConfig:
     """All reconstruction dials for the chaining pipeline. [RECON]"""
 
+    k: int = 15                          # seed k-mer length (the engine's
+                                         # 1/k ANI exponent; the oracle
+                                         # reads k from the sketch itself)
     fragment_length: int = 20_000
     max_gap_length: int = 2_500
     chain_band: int = 25

@@ -62,36 +62,12 @@ class SketchParams:
     def __post_init__(self):
         if self.use_aa:
             raise NotImplementedError("amino-acid mode is not supported")
-        if self.c <= 0 or self.marker_c <= 0 or self.k <= 0:
-            raise ValueError("compression factors and k must be positive")
-
-
-@dataclasses.dataclass(frozen=True)
-class MapParams:
-    """Chaining / ANI-estimation parameters. [RECON]
-
-    These correspond to skani's ``chain::map_params_from_sketch`` output
-    (called at lib.rs:646-651).  Values are pinned by the golden tests.
-    """
-
-    k: int = K_DEFAULT
-    # Query contigs are partitioned into windows of this many bases; each
-    # window yields one ANI estimate (the left-skewed distribution across
-    # windows is what makes mean/robust/median differ in the golden tests).
-    fragment_length: int = 20_000
-    # Maximum diagonal-drift between consecutive anchors in a chain.
-    max_gap_length: int = 300
-    # DP look-back window (number of previous anchors considered).
-    chain_band: int = 25
-    # Score for an anchor match in the chain DP.
-    anchor_score: float = 50.0
-    # Chains with fewer anchors than this are discarded.
-    min_anchors: int = 3
-    # Minimum aligned fraction for a hit to be reported (CommandParams).
-    min_aligned_frac: float = D_FRAC_COVER_CUTOFF
-    # Estimator mode.
-    robust: bool = False
-    median: bool = False
+        if self.c <= 0 or self.marker_c <= 0:
+            raise ValueError("compression factors must be positive")
+        if not (4 <= self.k <= 32) or not (4 <= self.marker_k <= 32):
+            raise ValueError(
+                f"k={self.k} / marker_k={self.marker_k} outside the "
+                f"supported [4, 32] range")
 
 
 @dataclasses.dataclass(frozen=True)
