@@ -42,8 +42,11 @@ import numpy as np
 from .sketch import DeviceSketch, I32_SENTINEL
 from ..oracle.chain import ChainConfig
 
-NEG_BIG = jnp.int32(-(2**30))
-POS_BIG = jnp.int32(2**30)
+# numpy scalars, NOT jnp: module-level jnp constants would initialise
+# the XLA backend at import time, breaking jax.distributed.initialize
+# (which must run before any backend touch on multi-host pods)
+NEG_BIG = np.int32(-(2**30))
+POS_BIG = np.int32(2**30)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -34,8 +34,10 @@ from . import u64
 from ..oracle.seeding import BYTE_TO_SEQ
 from ..params import MIN_LENGTH_CONTIG, SketchParams
 
-U32_SENTINEL = jnp.uint32(0xFFFFFFFF)
-I32_SENTINEL = jnp.int32(0x7FFFFFFF)
+# numpy scalars, NOT jnp: a module-level jnp constant would initialise
+# the XLA backend at import (breaks multi-host jax.distributed init)
+U32_SENTINEL = np.uint32(0xFFFFFFFF)
+I32_SENTINEL = np.int32(0x7FFFFFFF)
 
 
 @functools.partial(
