@@ -132,49 +132,68 @@ def main():
 
 
 def build_block_runner(batch, cfg, budgets, app):
-    """All-vs-all via BLOCK x BLOCK chain_block tiles — ONE program shape.
+    """All-vs-all via BLOCK x BLOCK chain_block tiles for the strict
+    upper off-diagonal blocks plus one small chain_triangle shape for
+    each diagonal block — exactly N*(N-1)/2 useful pair slots with TWO
+    program shapes total (a full-diagonal block tile would waste half
+    its slots on the lower triangle + self pairs).
 
-    Diagonal tiles contribute their strict upper triangle; off-diagonal
-    tiles contribute everything.  Tiles beyond N are padded with genome
-    index repeats and sliced off on readback.
+    Tiles beyond N are padded with genome index repeats and sliced off
+    on readback.
     """
     import jax.numpy as jnp
 
     from pyskani_tpu.engine.batch import take_sketch
-    from pyskani_tpu.ops.chain import chain_block
+    from pyskani_tpu.ops.chain import chain_block, chain_triangle, triu_pairs
     from pyskani_tpu.ops.sketch import round_up
 
     total = round_up(BLOCK * BLOCK * app, 8192)
+    tri_total = round_up(BLOCK * (BLOCK - 1) // 2 * app, 8192)
     starts = list(range(0, N_GENOMES, BLOCK))
-    tiles = []  # (ridx, qidx, ref idx array, query idx array, is_diag)
+    rect_tiles = []  # (ridx, qidx, padded ref ids, padded query ids)
+    tri_tiles = []   # (pair ref ids, pair query ids, keep, padded ids)
     for a in starts:
+        gidx = np.arange(a, min(a + BLOCK, N_GENOMES))
+        if len(gidx) >= 2:
+            gpad = np.concatenate([gidx,
+                                   np.full(BLOCK - len(gidx), gidx[0])])
+            tr, tq = triu_pairs(BLOCK)
+            keep = (tr < len(gidx)) & (tq < len(gidx))
+            tri_tiles.append((gpad[tr[keep]], gpad[tq[keep]], keep,
+                              jnp.asarray(gpad)))
         for b in starts:
-            if b < a:
+            if b <= a:
                 continue
-            ridx = np.arange(a, min(a + BLOCK, N_GENOMES))
+            ridx = gidx
             qidx = np.arange(b, min(b + BLOCK, N_GENOMES))
             rpad = np.concatenate([ridx, np.full(BLOCK - len(ridx), ridx[0])])
             qpad = np.concatenate([qidx, np.full(BLOCK - len(qidx), qidx[0])])
-            tiles.append((ridx, qidx, jnp.asarray(rpad), jnp.asarray(qpad),
-                          a == b))
+            rect_tiles.append((ridx, qidx, jnp.asarray(rpad),
+                               jnp.asarray(qpad)))
 
     def run(check=False):
         # dispatch every tile asynchronously; fetch results once at the
         # end so host->device dispatch overlaps device compute
-        outs = []
-        for ridx, qidx, rpad, qpad, is_diag in tiles:
-            o = chain_block(take_sketch(batch, rpad),
-                            take_sketch(batch, qpad),
-                            cfg=cfg, budgets=budgets, total_anchors=total)
-            outs.append((ridx, qidx, is_diag, o))
+        touts = [(pr, pq, keep,
+                  chain_triangle(take_sketch(batch, g), cfg=cfg,
+                                 budgets=budgets, total_anchors=tri_total))
+                 for pr, pq, keep, g in tri_tiles]
+        routs = [(ridx, qidx,
+                  chain_block(take_sketch(batch, rp),
+                              take_sketch(batch, qp),
+                              cfg=cfg, budgets=budgets, total_anchors=total))
+                 for ridx, qidx, rp, qp in rect_tiles]
         ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
-        for ridx, qidx, is_diag, o in outs:
-            tile = np.asarray(o["ani_mean"])[:len(ridx), :len(qidx)]
-            if is_diag:
-                iu = np.triu_indices(len(ridx), k=1)
-                ani[ridx[iu[0]], qidx[iu[1]]] = tile[iu]
-            else:
-                ani[np.ix_(ridx, qidx)] = tile
+        for pr, pq, keep, o in touts:
+            ani[pr, pq] = np.asarray(o["ani_mean"])[keep]
+            if check:
+                assert not bool(np.any(np.asarray(o["anchors_overflow"]))), \
+                    "anchor pool overflow — raise BENCH app budget"
+                assert int(np.max(np.asarray(o["n_chains"]))) <= \
+                    budgets.max_chains_per_pair, "chain table overflow"
+        for ridx, qidx, o in routs:
+            ani[np.ix_(ridx, qidx)] = \
+                np.asarray(o["ani_mean"])[:len(ridx), :len(qidx)]
             if check:
                 assert not bool(np.any(np.asarray(o["anchors_overflow"]))), \
                     "anchor pool overflow — raise BENCH app budget"
@@ -182,7 +201,7 @@ def build_block_runner(batch, cfg, budgets, app):
                     budgets.max_chains_per_pair, "chain table overflow"
         return {"ani_mean": ani}
 
-    return run, len(tiles)
+    return run, len(tri_tiles) + len(rect_tiles)
 
 
 def build_triangle_runner(batch, cfg, budgets, app, nf):

@@ -79,6 +79,10 @@ def _check_supported(cfg: ChainConfig):
         raise NotImplementedError
     if cfg.span_source != "kept" or cfg.span_extend != 0:
         raise NotImplementedError("engine implements kept-chain spans")
+    if cfg.est_side not in ("chunk", "both"):
+        raise NotImplementedError("engine implements chunk/both est_side")
+    if cfg.min_span_cover != 0:
+        raise NotImplementedError("engine implements min_span_cover=0")
 
 
 def _contig_layout(sk: DeviceSketch, fl: int):
@@ -358,6 +362,122 @@ def _interp_quantile(sorted_vals: jax.Array, n: jax.Array, q: float) -> jax.Arra
     return sorted_vals[lo] * (1 - w) + sorted_vals[hi] * w
 
 
+def _denom_prefix(sk: DeviceSketch, starts: jax.Array, cfg: ChainConfig):
+    """(sorted global seed positions, prefix counts of denominator-eligible
+    seeds) for one sketch — shared by both estimation grids."""
+    C = sk.contig_lengths.shape[0]
+    denom_thr = cfg.denom_mask_mult or cfg.max_seed_multiplicity
+    p_valid = jnp.arange(sk.seed_budget) < sk.n_seeds
+    if cfg.mask_repetitive_denom == "none":
+        p_ok = p_valid
+    else:
+        p_ok = p_valid & (sk.p_own_mult <= denom_thr)
+    p_cid_safe = jnp.clip(sk.p_contig_ids, 0, C - 1)
+    p_gpos = jnp.where(p_valid, starts[p_cid_safe] + sk.p_positions, POS_BIG)
+    prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                              jnp.cumsum(p_ok.astype(jnp.int32))])
+    return p_gpos, prefix
+
+
+_REF_SPAN_PIECES = 4  # a chain's ref interval can cross ref-fragment
+                      # boundaries (chains are query-fragment scoped);
+                      # spans <= ~fragment_length+drift fit in 4 pieces
+
+
+def _ref_grid_estimates(ref: DeviceSketch, keep_f: jax.Array,
+                        rmn_f: jax.Array, rmx_f: jax.Array,
+                        rcid_f: jax.Array, numer_r: jax.Array,
+                        cfg: ChainConfig, NF: int):
+    """Fragment-ANI estimates over the REFERENCE fragment grid.
+
+    est_side="both" (oracle ChainConfig): the ANI is estimated on the
+    fragment grids of BOTH genomes and pooled — kept-chain anchors are
+    binned by ref fragment (``numer_r``, caller-computed) and the span
+    denominator counts ref seeds between the first and last kept-chain
+    coverage inside each ref fragment.  Chains arrive as flat arrays
+    (``keep_f``/``rmn_f``/``rmx_f``/``rcid_f``); their ref intervals are
+    split across fragment boundaries into <= _REF_SPAN_PIECES pieces,
+    mirroring the oracle's _span_per_fragment.
+
+    Returns (frag_ani [NF] with +inf at uncovered slots, covered [NF]).
+    """
+    fl = cfg.fragment_length
+    Cr = ref.contig_lengths.shape[0]
+    r_starts, r_frag_offs = _contig_layout(ref, fl)
+    rcid_safe = jnp.clip(rcid_f, 0, Cr - 1)
+    lo = jnp.maximum(rmn_f - cfg.extend_left, 0)
+    hi = jnp.minimum(rmx_f + cfg.extend_right,
+                     ref.contig_lengths[rcid_safe] - 1)
+    f0_local = lo // fl
+    span_lo = jnp.full(NF + 1, POS_BIG)
+    span_hi = jnp.full(NF + 1, NEG_BIG)
+    for j in range(_REF_SPAN_PIECES):
+        base = (f0_local + j) * fl
+        plo = jnp.maximum(lo, base)
+        phi = jnp.minimum(hi, base + fl - 1)
+        fj = r_frag_offs[rcid_safe] + f0_local + j
+        okp = keep_f & (plo <= phi) & (fj < NF)
+        slot = jnp.where(okp, fj, NF)
+        span_lo = span_lo.at[slot].min(jnp.where(okp, plo, POS_BIG))
+        span_hi = span_hi.at[slot].max(jnp.where(okp, phi, NEG_BIG))
+    span_lo, span_hi = span_lo[:NF], span_hi[:NF]
+
+    p_gpos, prefix = _denom_prefix(ref, r_starts, cfg)
+    frag_ids = jnp.arange(NF, dtype=jnp.int32)
+    frag_cid = jnp.clip(
+        (jnp.searchsorted(r_frag_offs, frag_ids, side="right") - 1
+         ).astype(jnp.int32), 0, Cr - 1)
+    g_lo = r_starts[frag_cid] + span_lo
+    g_hi = r_starts[frag_cid] + span_hi
+    denom = prefix[jnp.searchsorted(p_gpos, g_hi + 1, side="left")] - \
+        prefix[jnp.searchsorted(p_gpos, g_lo, side="left")]
+
+    covered = numer_r >= jnp.maximum(1, cfg.min_frag_anchors)
+    ratio = jnp.minimum(numer_r.astype(jnp.float32) /
+                        jnp.maximum(denom.astype(jnp.float32), 1.0), 1.0)
+    frag_ani = jnp.where(covered, ratio ** (1.0 / float(cfg.k)), jnp.inf)
+    return frag_ani, covered
+
+
+def _pooled_estimators(fa: jax.Array, covered: jax.Array,
+                       cfg: ChainConfig):
+    """mean / 10-90% trimmed mean / median (+ optional bootstrap CI) of
+    the covered entries of ``fa`` (+inf at uncovered slots)."""
+    M = fa.shape[0]
+    n_cov = jnp.sum(covered, dtype=jnp.int32)
+    s = jnp.sort(fa)
+    mean = jnp.sum(jnp.where(covered, fa, 0.0)) / \
+        jnp.maximum(n_cov.astype(jnp.float32), 1.0)
+    q10 = _interp_quantile(s, n_cov, 0.1)
+    q90 = _interp_quantile(s, n_cov, 0.9)
+    in_win = (s >= q10) & (s <= q90) & (jnp.arange(M) < n_cov)
+    robust = jnp.sum(jnp.where(in_win, s, 0.0)) / \
+        jnp.maximum(jnp.sum(in_win, dtype=jnp.float32), 1.0)
+    mid_hi = jnp.clip(n_cov // 2, 0, M - 1)
+    mid_lo = jnp.clip((n_cov - 1) // 2, 0, M - 1)
+    med = 0.5 * (s[mid_lo] + s[mid_hi])
+    no_cov = n_cov == 0
+    out = dict(
+        ani_mean=jnp.where(no_cov, 0.0, mean),
+        ani_robust=jnp.where(no_cov, 0.0, robust),
+        ani_median=jnp.where(no_cov, 0.0, med),
+        n_fragments=n_cov,
+    )
+    if cfg.est_ci:
+        R = cfg.ci_iterations
+        key = jax.random.PRNGKey(1539)
+        idx = jax.random.randint(key, (R, M), 0, jnp.maximum(n_cov, 1))
+        cols = jnp.arange(M, dtype=jnp.int32)[None, :] < n_cov
+        boot = jnp.sum(jnp.where(cols, s[idx], 0.0), axis=1) / \
+            jnp.maximum(n_cov.astype(jnp.float32), 1.0)
+        boot_s = jnp.sort(boot)
+        out["ani_ci_low"] = jnp.where(
+            no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(R), 0.05))
+        out["ani_ci_high"] = jnp.where(
+            no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(R), 0.95))
+    return out
+
+
 def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
              cfg: ChainConfig, budgets: EngineBudgets):
     """Chain stats, estimators and aligned fractions (after the DP)."""
@@ -447,20 +567,27 @@ def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
                         jnp.maximum(denom.astype(jnp.float32), 1.0), 1.0)
     frag_ani = jnp.where(covered, ratio ** (1.0 / cfg_k(query, cfg)), jnp.inf)
 
-    # ---- estimators from one sorted pass ----
-    n_cov = jnp.sum(covered, dtype=jnp.int32)
-    s = jnp.sort(frag_ani)
-    mean = jnp.sum(jnp.where(covered, frag_ani, 0.0)) / \
-        jnp.maximum(n_cov.astype(jnp.float32), 1.0)
-    q10 = _interp_quantile(s, n_cov, 0.1)
-    q90 = _interp_quantile(s, n_cov, 0.9)
-    in_win = (s >= q10) & (s <= q90) & (jnp.arange(NF) < n_cov)
-    robust = jnp.sum(jnp.where(in_win, s, 0.0)) / \
-        jnp.maximum(jnp.sum(in_win, dtype=jnp.float32), 1.0)
-    # np.median: average of the two middle order statistics
-    mid_hi = jnp.clip(n_cov // 2, 0, NF - 1)
-    mid_lo = jnp.clip((n_cov - 1) // 2, 0, NF - 1)
-    med = 0.5 * (s[mid_lo] + s[mid_hi])
+    if cfg.est_side == "both":
+        # ---- ref-side fragment grid (pooled with the query grid) ----
+        Cr = ref.contig_lengths.shape[0]
+        _, r_frag_offs = _contig_layout(ref, fl)
+        rc2 = jnp.minimum(rootc, PF - 1)
+        keep_a = keep[rows, rc2] & v                    # [NF, PF]
+        refrag = r_frag_offs[jnp.clip(grid["rcid"], 0, Cr - 1)] + \
+            jnp.clip(grid["rpos"], 0, POS_BIG) // fl
+        ok_a = keep_a & (refrag < NF)
+        numer_r = jnp.zeros(NF + 1, jnp.int32).at[
+            jnp.where(ok_a, refrag, NF).reshape(-1)].add(
+            ok_a.astype(jnp.int32).reshape(-1))[:NF]
+        fa_r, cov_r = _ref_grid_estimates(
+            ref, keep.reshape(-1), c_rmin.reshape(-1),
+            c_rmax.reshape(-1), c_rcid.reshape(-1), numer_r, cfg, NF)
+        fa_all = jnp.concatenate([frag_ani, fa_r])
+        cov_all = jnp.concatenate([covered, cov_r])
+    else:
+        fa_all, cov_all = frag_ani, covered
+    est = _pooled_estimators(fa_all, cov_all, cfg)
+    n_cov = est["n_fragments"]
 
     # ---- aligned fractions ----
     kf = keep.reshape(-1)
@@ -479,32 +606,7 @@ def _post_dp(ref: DeviceSketch, query: DeviceSketch, grid, scores, roots,
     af_r = _union_length(r_lo, r_hi, kf).astype(jnp.float32) / \
         jnp.maximum(ref.total_len.astype(jnp.float32), 1.0)
 
-    no_cov = n_cov == 0
-    out = dict(
-        ani_mean=jnp.where(no_cov, 0.0, mean),
-        ani_robust=jnp.where(no_cov, 0.0, robust),
-        ani_median=jnp.where(no_cov, 0.0, med),
-        af_query=af_q,
-        af_ref=af_r,
-        n_fragments=n_cov,
-    )
-
-    if cfg.est_ci:
-        # percentile bootstrap on the fragment ANIs (skani --ci /
-        # CommandParams.est_ci, SURVEY §2 S1): resample n_cov covered
-        # fragments with replacement, take the [5%, 95%] quantiles of the
-        # resampled means.  Fixed key -> deterministic, shard-invariant.
-        R = cfg.ci_iterations
-        key = jax.random.PRNGKey(1539)
-        idx = jax.random.randint(key, (R, NF), 0, jnp.maximum(n_cov, 1))
-        cols = jnp.arange(NF, dtype=jnp.int32)[None, :] < n_cov
-        boot = jnp.sum(jnp.where(cols, s[idx], 0.0), axis=1) / \
-            jnp.maximum(n_cov.astype(jnp.float32), 1.0)
-        boot_s = jnp.sort(boot)
-        ci_lo = _interp_quantile(boot_s, jnp.int32(R), 0.05)
-        ci_hi = _interp_quantile(boot_s, jnp.int32(R), 0.95)
-        out["ani_ci_low"] = jnp.where(no_cov, 0.0, ci_lo)
-        out["ani_ci_high"] = jnp.where(no_cov, 0.0, ci_hi)
+    out = dict(est, af_query=af_q, af_ref=af_r)
     return out
 
 
@@ -563,7 +665,8 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
                    scores: jax.Array, roots: jax.Array, q_starts: jax.Array,
                    q_frag_offs: jax.Array, cfg: ChainConfig,
                    budgets: EngineBudgets, tail_r: jax.Array,
-                   tail_q: jax.Array) -> dict:
+                   tail_q: jax.Array,
+                   r_frag_offs: jax.Array | None = None) -> dict:
     """Per-chain statistics + estimators for a block of P pairs.
 
     ``tail_r``/``tail_q`` [P] map each pair slot to its genome index in
@@ -673,11 +776,32 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     n_chains = jnp.where(pair_of[pair_last] == pair_ids_r,
                          kc[pair_last] - pair_base[pair_last], 0)
 
+    if cfg.est_side == "both":
+        # ---- ref-fragment numerators over the sorted anchor stream ----
+        # each element's chain keep flag lives at its segment END in the
+        # key-sorted stream; gather it via searchsorted(right)-1, then
+        # bin kept anchors by (pair, ref fragment) with one scatter-add.
+        Cr = refs.contig_lengths.shape[1]
+        end_idx = jnp.clip(
+            jnp.searchsorted(key_s, key_s, side="right") - 1, 0, n - 1)
+        keep_elem = keep[end_idx] & ((meta_s & 1) == 1)
+        rcid_el = jnp.clip((meta_s >> 3) & 0x3FFF, 0, Cr - 1)
+        g_of = tail_r[jnp.clip(pair_of, 0, P - 1)]      # ref genome id
+        refrag = r_frag_offs.reshape(-1)[
+            g_of * r_frag_offs.shape[1] + rcid_el] + \
+            jnp.clip(rpos_s, 0, POS_BIG) // fl
+        ok_el = keep_elem & (refrag < NF) & (pair_of < P)
+        numer_r = jnp.zeros(P * NF + 1, jnp.int32).at[
+            jnp.where(ok_el, pair_of * NF + refrag, P * NF)].add(
+            ok_el.astype(jnp.int32))[:P * NF].reshape(P, NF)
+    else:
+        numer_r = jnp.zeros((P, NF), jnp.int32)
+
     # ---- per-pair tail (denominators, estimators, AF unions) ----
     C = queries.contig_lengths.shape[1]
 
-    def tail(qi_idx, g_idx, numer, span_lo, span_hi, keep_e, qmn_e, qmx_e,
-             rmn_e, rmx_e, meta_e):
+    def tail(qi_idx, g_idx, numer, numer_r_p, span_lo, span_hi, keep_e,
+             qmn_e, qmx_e, rmn_e, rmx_e, meta_e):
         query = jax.tree.map(lambda x: x[qi_idx], queries)
         ref = jax.tree.map(lambda x: x[g_idx], refs)
         q_st = q_starts[qi_idx]
@@ -716,18 +840,15 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         frag_ani = jnp.where(covered, ratio ** (1.0 / cfg_k(query, cfg)),
                              jnp.inf)
 
-        n_cov = jnp.sum(covered, dtype=jnp.int32)
-        s = jnp.sort(frag_ani)
-        mean = jnp.sum(jnp.where(covered, frag_ani, 0.0)) / \
-            jnp.maximum(n_cov.astype(jnp.float32), 1.0)
-        q10 = _interp_quantile(s, n_cov, 0.1)
-        q90 = _interp_quantile(s, n_cov, 0.9)
-        in_win = (s >= q10) & (s <= q90) & (jnp.arange(NF) < n_cov)
-        robust = jnp.sum(jnp.where(in_win, s, 0.0)) / \
-            jnp.maximum(jnp.sum(in_win, dtype=jnp.float32), 1.0)
-        mid_hi = jnp.clip(n_cov // 2, 0, NF - 1)
-        mid_lo = jnp.clip((n_cov - 1) // 2, 0, NF - 1)
-        med = 0.5 * (s[mid_lo] + s[mid_hi])
+        if cfg.est_side == "both":
+            fa_r, cov_r = _ref_grid_estimates(
+                ref, keep_e, rmn_e, rmx_e, (meta_e >> 3) & 0x3FFF,
+                numer_r_p, cfg, NF)
+            fa_all = jnp.concatenate([frag_ani, fa_r])
+            cov_all = jnp.concatenate([covered, cov_r])
+        else:
+            fa_all, cov_all = frag_ani, covered
+        est = _pooled_estimators(fa_all, cov_all, cfg)
 
         qcid_e = jnp.clip(meta_e >> 17, 0, C - 1)
         rcid_e = jnp.clip((meta_e >> 3) & 0x3FFF, 0,
@@ -743,31 +864,12 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         af_r = _union_length(r_lo, r_hi, keep_e).astype(jnp.float32) / \
             jnp.maximum(ref.total_len.astype(jnp.float32), 1.0)
 
-        no_cov = n_cov == 0
-        out = dict(
-            ani_mean=jnp.where(no_cov, 0.0, mean),
-            ani_robust=jnp.where(no_cov, 0.0, robust),
-            ani_median=jnp.where(no_cov, 0.0, med),
-            af_query=af_q, af_ref=af_r, n_fragments=n_cov,
-        )
-        if cfg.est_ci:
-            Rci = cfg.ci_iterations
-            rkey = jax.random.PRNGKey(1539)
-            idx = jax.random.randint(rkey, (Rci, NF), 0,
-                                     jnp.maximum(n_cov, 1))
-            cols = jnp.arange(NF, dtype=jnp.int32)[None, :] < n_cov
-            boot = jnp.sum(jnp.where(cols, s[idx], 0.0), axis=1) / \
-                jnp.maximum(n_cov.astype(jnp.float32), 1.0)
-            boot_s = jnp.sort(boot)
-            out["ani_ci_low"] = jnp.where(
-                no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(Rci), 0.05))
-            out["ani_ci_high"] = jnp.where(
-                no_cov, 0.0, _interp_quantile(boot_s, jnp.int32(Rci), 0.95))
-        return out
+        return dict(est, af_query=af_q, af_ref=af_r)
 
     out = jax.vmap(tail)(
         tail_q, tail_r,
-        numer.reshape(P, NF), span_lo.reshape(P, NF), span_hi.reshape(P, NF),
+        numer.reshape(P, NF), numer_r,
+        span_lo.reshape(P, NF), span_hi.reshape(P, NF),
         end_valid, end_qmn, end_qmx, end_rmn, end_rmx, end_meta)
     out["n_chains"] = n_chains
     return out
@@ -996,9 +1098,11 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
 
     scores, roots = _dp_dispatch(merged, cfg, budgets)
     pair_ids = jnp.arange(P, dtype=jnp.int32)
+    _, r_frag_offs = jax.vmap(lambda r: _contig_layout(r, fl))(refs)
     out = _post_dp_block(refs, queries, merged, scores, roots, q_starts,
                          q_frag_offs, cfg, budgets,
-                         pair_ids // G_q, pair_ids % G_q)
+                         pair_ids // G_q, pair_ids % G_q,
+                         r_frag_offs=r_frag_offs)
     # per-pair anchor counts; the shared-pool overflow flag is broadcast
     # to every pair of the block (the pool is shared, so any pair may be
     # the one truncated)
@@ -1207,7 +1311,8 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     tri_r, tri_q = triu_pairs(G)
     out = _post_dp_block(genomes, genomes, merged, scores, roots, q_starts,
                          q_frag_offs, cfg, budgets,
-                         jnp.asarray(tri_r), jnp.asarray(tri_q))
+                         jnp.asarray(tri_r), jnp.asarray(tri_q),
+                         r_frag_offs=q_frag_offs)
     pair_clip = jnp.where(a["valid"], a["pair"], P)
     out["n_anchors"] = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
         a["valid"].astype(jnp.int32))[:P]

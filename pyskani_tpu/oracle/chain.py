@@ -63,6 +63,11 @@ class ChainConfig:
     nonoverlap_side: str = "none"        # "ref" | "query" | "none"
     nonoverlap_frac: float = 0.5         # max allowed overlap fraction
     chunk_side: str = "query"            # side carrying the ANI fragments
+    est_side: str = "both"               # "chunk" | "other" | "both": which
+                                         # side's fragment grid carries the
+                                         # ANI estimates (chains stay
+                                         # grouped by chunk_side fragments;
+                                         # "both" pools the two grids)
     chain_group_side: str = ""           # side whose fragments bound chains
                                          # ("" = same as chunk_side)
     denom_mode: str = "span"             # "fragment"|"covered"|"length"|"span"
@@ -74,10 +79,13 @@ class ChainConfig:
                                          # denominator seeds
     numer_mode: str = "anchors"          # "anchors" | "distinct"
     min_frag_anchors: int = 1            # fragments with fewer anchors excluded
+    min_span_cover: float = 0.0          # fragments whose kept-chain span
+                                         # covers less than this fraction of
+                                         # the fragment are not estimated
     bridge_gap: int = 0                  # merge intervals separated by <= this
     mask_repetitive_denom: str = "own"   # "none" | "own" | "both": exclude
                                          # repetitive k-mers from the seed count
-    denom_mask_mult: int = 12            # multiplicity threshold for the
+    denom_mask_mult: int = 16            # multiplicity threshold for the
                                          # denominator mask (0 = same as anchors)
     est_ci: bool = False                 # percentile-bootstrap [5%,95%] CI on
                                          # the mean ANI (skani --ci /
@@ -316,48 +324,96 @@ def chain_seeds(ref: Sketch, query: Sketch, cfg: ChainConfig,
     c_fcid = c_rcid if cfg.chunk_side == "ref" else c_qcid
     c_fmin = c_rmin if cfg.chunk_side == "ref" else c_qmin
     c_fmax = c_rmax if cfg.chunk_side == "ref" else c_qmax
-    if cfg.numer_mode == "distinct":
-        sel = np.nonzero(kept_mask_anchor)[0]
-        key = (fcid[sel] << 40) | fpos[sel]
-        _, fi = np.unique(key, return_index=True)
-        numer = np.bincount(frag[sel[fi]], minlength=n_frags)
-    else:
-        numer = np.bincount(frag[kept_mask_anchor], minlength=n_frags)
-
-    if cfg.denom_mode in ("covered", "length", "span"):
-        if cfg.span_source == "kept":
-            span_chains = kept_chains
-        elif cfg.span_source == "multi":   # any chain with >= 2 anchors
-            span_chains = np.nonzero(c_anchors >= 2)[0]
-        else:                              # "all"
-            span_chains = np.arange(n_chains)
-        f_iv = [(int(c_fcid[ci]), int(c_fmin[ci]) - ext_l, int(c_fmax[ci]) + ext_r)
-                for ci in span_chains]
-        f_iv = _merge_intervals(f_iv, cfg.bridge_gap)
-        fview = dataclasses.replace(
-            fside,
-            positions=fside.positions[denom_ok],
-            contig_ids=fside.contig_ids[denom_ok],
-            kmers=fside.kmers[denom_ok],
-            strands=fside.strands[denom_ok],
-        )
-        if cfg.denom_mode == "span":
-            f_iv = _span_per_fragment(f_iv, fside, n_frags, fl,
-                                      cfg.span_extend)
-            denom = _covered_seeds_per_fragment(f_iv, fview, n_frags, fl)
-        elif cfg.denom_mode == "covered":
-            denom = _covered_seeds_per_fragment(f_iv, fview, n_frags, fl)
+    # estimation-side selection: by default the chunk side's fragment
+    # grid carries the estimates; est_side="other" bins kept anchors on
+    # the opposite side's grid; est_side="both" pools the two grids
+    # (chain grouping is unchanged in all cases)
+    def _est_grid(tag):
+        if tag == "other":
+            eside = ref if fside is query else query
+            e_pos_a = rpos if cfg.chunk_side != "ref" else qpos
+            e_cid_a = rcid if cfg.chunk_side != "ref" else qcid
+            c_ecid = c_rcid if cfg.chunk_side != "ref" else c_qcid
+            c_emin = c_rmin if cfg.chunk_side != "ref" else c_qmin
+            c_emax = c_rmax if cfg.chunk_side != "ref" else c_qmax
+            efrag, n_efrags = assign_fragments(e_cid_a, e_pos_a,
+                                               eside.contig_lengths, fl)
+            e_denom_ok = _denominator_seed_mask(
+                eside, ref if eside is query else query, cfg)
         else:
-            denom = _covered_length_per_fragment(f_iv, fside, n_frags, fl) // fside.c
+            eside, e_pos_a, e_cid_a = fside, fpos, fcid
+            c_ecid, c_emin, c_emax = c_fcid, c_fmin, c_fmax
+            efrag, n_efrags = frag, n_frags
+            e_denom_ok = denom_ok
+        if cfg.numer_mode == "distinct":
+            sel = np.nonzero(kept_mask_anchor)[0]
+            key = (e_cid_a[sel] << 40) | e_pos_a[sel]
+            _, fi = np.unique(key, return_index=True)
+            numer = np.bincount(efrag[sel[fi]], minlength=n_efrags)
+        else:
+            numer = np.bincount(efrag[kept_mask_anchor], minlength=n_efrags)
+
+        if cfg.denom_mode in ("covered", "length", "span"):
+            if cfg.span_source == "kept":
+                span_chains = kept_chains
+            elif cfg.span_source == "multi":  # any chain with >= 2 anchors
+                span_chains = np.nonzero(c_anchors >= 2)[0]
+            else:                             # "all"
+                span_chains = np.arange(n_chains)
+            f_iv = [(int(c_ecid[ci]), int(c_emin[ci]) - ext_l,
+                     int(c_emax[ci]) + ext_r) for ci in span_chains]
+            f_iv = _merge_intervals(f_iv, cfg.bridge_gap)
+            fview = dataclasses.replace(
+                eside,
+                positions=eside.positions[e_denom_ok],
+                contig_ids=eside.contig_ids[e_denom_ok],
+                kmers=eside.kmers[e_denom_ok],
+                strands=eside.strands[e_denom_ok],
+            )
+            if cfg.denom_mode == "span":
+                f_iv = _span_per_fragment(f_iv, eside, n_efrags, fl,
+                                          cfg.span_extend)
+                denom = _covered_seeds_per_fragment(f_iv, fview, n_efrags,
+                                                    fl)
+            elif cfg.denom_mode == "covered":
+                denom = _covered_seeds_per_fragment(f_iv, fview, n_efrags,
+                                                    fl)
+            else:
+                denom = _covered_length_per_fragment(
+                    f_iv, eside, n_efrags, fl) // eside.c
+        else:
+            denom = seeds_in_frag
+        covered = numer >= max(1, cfg.min_frag_anchors)
+        if cfg.min_span_cover > 0:
+            # span coverage per fragment (vs its effective length)
+            offs = _fragment_offsets(eside.contig_lengths, fl)
+            span_len = np.zeros(n_efrags)
+            sf_iv = _span_per_fragment(
+                [(int(c_ecid[ci]), int(c_emin[ci]) - ext_l,
+                  int(c_emax[ci]) + ext_r) for ci in kept_chains],
+                eside, n_efrags, fl)
+            for cid, lo, hi in sf_iv:
+                f = offs[cid] + lo // fl
+                span_len[f] = hi - lo + 1
+            eff = np.zeros(n_efrags)
+            for cid, length in enumerate(eside.contig_lengths):
+                for f in range(offs[cid], offs[cid + 1]):
+                    base = (f - offs[cid]) * fl
+                    eff[f] = min(fl, length - base)
+            covered &= span_len >= cfg.min_span_cover * np.maximum(eff, 1)
+        ratio = numer[covered] / np.maximum(denom[covered], 1)
+        if cfg.ani_cap:
+            ratio = np.minimum(ratio, 1.0)
+        return ratio ** (1.0 / k), denom[covered].astype(np.float64)
+
+    if cfg.est_side == "both":
+        fa1, w1 = _est_grid("chunk")
+        fa2, w2 = _est_grid("other")
+        frag_ani = np.concatenate([fa1, fa2])
+        weights = np.concatenate([w1, w2])
     else:
-        denom = seeds_in_frag
-    covered = numer >= max(1, cfg.min_frag_anchors)
-    ratio = numer[covered] / np.maximum(denom[covered], 1)
-    if cfg.ani_cap:
-        ratio = np.minimum(ratio, 1.0)
-    frag_ani = ratio ** (1.0 / k)
+        frag_ani, weights = _est_grid(cfg.est_side)
     res.fragment_anis = frag_ani
-    weights = denom[covered].astype(np.float64)
     res.fragment_weights = weights
 
     if median:

@@ -1,12 +1,12 @@
 """Golden-value ANI conformance tests (E. coli EC590 vs K-12).
 
 Mirror of the reference suite /root/reference/src/pyskani/tests/test_ani.py
-— same fixtures, same expected values.  The reference asserts 4 decimal
-places; the reconstruction matches robust/median identity, BOTH aligned
-fractions and the learned-ANI value at that tolerance.  The remaining
-residual is the mean estimator (+3.6e-4): its strict check stays xfail
-until the final accounting convention is pinned (the skani crate is not
-vendored — see SURVEY.md §6 and pyskani_tpu/oracle/chain.py).
+— same fixtures, same expected values, same 4-decimal-place assertions.
+ALL five golden values (mean/robust/median identity, both aligned
+fractions) plus the learned-ANI value pass at the reference's strict
+tolerance: the decisive reconstruction step was est_side="both" — the
+ANI is estimated over the fragment grids of BOTH genomes and pooled
+(pyskani_tpu/oracle/chain.py ChainConfig).
 """
 
 import pytest
@@ -37,9 +37,10 @@ def _check_af_strict(hit):
 
 
 def test_no_learned_ani(hits_raw):
+    # reference test_ani.py:35-40, full 4-decimal strictness
     assert len(hits_raw) == 1
     _check_af_strict(hits_raw[0])
-    assert hits_raw[0].identity == pytest.approx(0.9946, abs=4e-4)
+    assert round(hits_raw[0].identity - 0.9946, 4) == 0
 
 
 def test_robust(db, ecoli_k12):
@@ -56,11 +57,6 @@ def test_median(db, ecoli_k12):
     assert round(hits[0].identity - 0.9995, 4) == 0
 
 
-@pytest.mark.xfail(reason="reconstruction residual: mean estimator within "
-                          "4e-4 of golden; robust/median/AF all match at "
-                          "4 d.p., so the gap is isolated to one remaining "
-                          "numer/denom accounting convention",
-                   strict=False)
 def test_no_learned_ani_strict(hits_raw):
     assert len(hits_raw) == 1
     assert round(hits_raw[0].identity - 0.9946, 4) == 0
