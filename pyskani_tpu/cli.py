@@ -187,8 +187,45 @@ def cmd_search(args) -> int:
         return 2
     db = Database.open(args.database) if not args.preload \
         else Database.load(args.database)
+    if args.mesh:
+        return _search_sharded(db, args)
     with _out_stream(args.output_file) as out:
         _run_queries(db, args, out)
+    return 0
+
+
+def _search_sharded(db, args) -> int:
+    """search --mesh DBxBATCH: the whole query stream through the
+    mesh-sharded engine (parallel.search.ShardedDatabaseSearch)."""
+    if args.ci:
+        print("error: --ci is not supported with --mesh", file=sys.stderr)
+        return 2
+    try:
+        db_ax, batch_ax = (int(t) for t in args.mesh.lower().split("x"))
+    except ValueError:
+        print(f"error: bad --mesh {args.mesh!r} (expected DBxBATCH)",
+              file=sys.stderr)
+        return 2
+    from .parallel.mesh import make_mesh
+    from .parallel.search import ShardedDatabaseSearch
+
+    mesh = make_mesh(db=db_ax, batch=batch_ax)
+    searcher = ShardedDatabaseSearch(
+        db, mesh, cutoff=_screen_val(args.screen),
+        learned_ani=_learned(args.learned_ani), median=args.median,
+        robust=args.robust, faster_small=args.faster_small)
+    named = list(_genome_records(args.queries))
+    all_hits = searcher.query_many(named)
+    with _out_stream(args.output_file) as out:
+        _header(out)
+        for hits in all_hits:
+            hits = [h for h in hits
+                    if max(h.query_fraction,
+                           h.reference_fraction) * 100 >= args.min_af]
+            hits.sort(key=lambda h: -h.identity)
+            for h in hits[:args.max_results]:
+                _emit(out, h.reference_name, h.query_name, h.identity,
+                      h.reference_fraction, h.query_fraction)
     return 0
 
 
@@ -280,6 +317,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--database", required=True)
     p.add_argument("--preload", action="store_true",
                    help="load all sketches in memory up front")
+    p.add_argument("--mesh", default=None, metavar="DBxBATCH",
+                   help="run the search sharded over a device mesh, e.g. "
+                        "--mesh 4x2 (db axis x batch axis; requires "
+                        "db*batch devices)")
     _add_query_params(p)
     p.set_defaults(func=cmd_search)
 

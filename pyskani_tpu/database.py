@@ -394,9 +394,12 @@ class Database:
             ani = float(out[key][i])
             af_q = float(out["af_query"][i])
             af_r = float(out["af_ref"][i])
-            # the correction targets the MEAN estimator: the reference's
-            # golden robust/median values (test_ani.py:49-61) match the
-            # RAW trimmed-mean/median, so those modes stay uncorrected
+            # the correction targets the MEAN estimator only.  Evidence:
+            # the reference's test_robust (test_ani.py:49-54) runs with
+            # learned ANI at its DEFAULT (ON, since c=125 >= 70 and not
+            # median — lib.rs:611-613) yet its golden 0.9977 equals the
+            # raw trimmed mean; likewise test_median's 0.9995 equals the
+            # raw median (median mode disables learned ANI outright)
             if model is not None and not median and not robust:
                 ani = regression.apply_model(model, ani, af_q, af_r)
             # min_aligned_frac gate (CommandParams.min_aligned_frac =

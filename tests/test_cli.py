@@ -111,3 +111,32 @@ def test_list_file_inputs(genomes, tmp_path, capsys):
 def test_empty_inputs_rejected(capsys):
     assert cli.main(["dist", "-q"]) == 2
     assert cli.main(["triangle"]) == 2
+
+
+def test_search_mesh(genomes, tmp_path, capsys):
+    """search --mesh DBxBATCH runs the query stream through the sharded
+    engine and emits the same TSV surface."""
+    out_db = str(tmp_path / "meshdb")
+    cli.main(["sketch", "-o", out_db, genomes["a"], genomes["c"]])
+    capsys.readouterr()
+    rc = cli.main(["search", "-d", out_db, "--mesh", "4x2",
+                   "--learned-ani", "no", genomes["b"]])
+    assert rc == 0
+    cap = capsys.readouterr().out.strip().splitlines()
+    assert cap[0].startswith("Ref_file\tQuery_file\tANI")
+    rows = [line.split("\t") for line in cap[1:]]
+    assert any(r[0] == "a.fa" for r in rows)
+    # parity with the unsharded search
+    rc = cli.main(["search", "-d", out_db, "--learned-ani", "no",
+                   genomes["b"]])
+    assert rc == 0
+    cap2 = capsys.readouterr().out.strip().splitlines()
+    assert sorted(cap[1:]) == sorted(cap2[1:])
+
+
+def test_search_mesh_bad_spec(genomes, tmp_path, capsys):
+    out_db = str(tmp_path / "meshdb2")
+    cli.main(["sketch", "-o", out_db, genomes["a"]])
+    rc = cli.main(["search", "-d", out_db, "--mesh", "nope",
+                   genomes["b"]])
+    assert rc == 2
