@@ -261,7 +261,13 @@ class Database:
 
     def _budgets_for(self, query: HostSketch, ref=None) -> EngineBudgets:
         fl = self._chain_cfg.fragment_length
-        nf = round_up(query.n_fragments(fl) + 2, 128)
+        # the fragment budget must cover BOTH estimation grids
+        # (est_side="both" bins anchors on the ref grid too): size it to
+        # the larger of the query and the longest stored reference
+        nf_q = query.n_fragments(fl)
+        nf_r = max((-(-m.total_len // fl) for m in self._markers),
+                   default=1)
+        nf = round_up(max(nf_q, nf_r) + 2, 128)
         qa = query.device.seed_budget
         return EngineBudgets(
             max_anchors=round_up(int(qa * 1.5) + 4096, 8192),

@@ -779,12 +779,21 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     if cfg.est_side == "both":
         # ---- ref-fragment numerators over the sorted anchor stream ----
         # each element's chain keep flag lives at its segment END in the
-        # key-sorted stream; gather it via searchsorted(right)-1, then
-        # bin kept anchors by (pair, ref fragment) with one scatter-add.
+        # key-sorted stream; propagate it to every segment element by
+        # scanning the REVERSED stream (ends become starts) — one cheap
+        # segmented associative_scan instead of a log(n)-round gather
+        # cascade — then bin kept anchors by (pair, ref fragment) with
+        # one scatter-add.
         Cr = refs.contig_lengths.shape[1]
-        end_idx = jnp.clip(
-            jnp.searchsorted(key_s, key_s, side="right") - 1, 0, n - 1)
-        keep_elem = keep[end_idx] & ((meta_s & 1) == 1)
+        rev_start = is_last[::-1]
+        rev_val = jnp.where(rev_start, keep[::-1], False)
+
+        def _carry(a, b):
+            return (a[0] | b[0], jnp.where(b[0], b[1], a[1]))
+
+        _, keep_fill = jax.lax.associative_scan(_carry,
+                                                (rev_start, rev_val))
+        keep_elem = keep_fill[::-1] & ((meta_s & 1) == 1)
         rcid_el = jnp.clip((meta_s >> 3) & 0x3FFF, 0, Cr - 1)
         g_of = tail_r[jnp.clip(pair_of, 0, P - 1)]      # ref genome id
         refrag = r_frag_offs.reshape(-1)[

@@ -66,8 +66,10 @@ class ShardedDatabaseSearch:
         self._refs = shard_leading(mesh, stack, "db")
 
         fl = database._chain_cfg.fragment_length
+        self._fl = fl
         max_len = max(m.total_len for m in database._markers)
         nf = _ru(-(-max_len // fl) + 2, 128)
+        self._nf = nf
         self._budgets = EngineBudgets(
             max_anchors=_ru(int(bucket * 1.5) + 4096, 8192),
             max_fragments=nf, max_anchors_per_fragment=256)
@@ -100,6 +102,13 @@ class ShardedDatabaseSearch:
             group = items[lo:lo + qg]
             n = len(group)
             sk = sketch_genomes_device(group, db._params)
+            for s in sk:
+                if s.n_fragments(self._fl) + 2 > self._nf:
+                    raise ValueError(
+                        f"query {s.name!r} has more fragments than the "
+                        f"searcher's budget (max_fragments={self._nf}, "
+                        f"sized from the reference store); rebuild with "
+                        f"a larger budget or shorter queries")
             padded = [repad_sketch(s, max(self._bucket,
                                           s.device.seed_budget),
                                    max(self._mbucket,

@@ -137,3 +137,32 @@ def test_save_signature_runtime_parity(tmp_path):
     with pytest.raises(FileExistsError):
         db.save(tmp_path / "d1")
     db.save(tmp_path / "d1", True)                   # overwrite positional
+
+
+def test_asymmetric_lengths_match_oracle():
+    """A reference much longer than the query: the ref-side estimation
+    grid (est_side='both') must not truncate — Database results equal
+    the oracle."""
+    rng = np.random.default_rng(12)
+    acgt = np.frombuffer(b"ACGT", np.uint8)
+    long_ref = rng.choice(acgt, size=300_000)
+    short_q = long_ref[:40_000].copy()
+    idx = rng.integers(0, len(short_q), 400)
+    short_q[idx] = rng.choice(acgt, size=400)
+    ref_b, q_b = long_ref.tobytes(), short_q.tobytes()
+
+    db = pyskani_tpu.Database()
+    db.sketch("r", ref_b)
+    hits = db.query("q", q_b, learned_ani=False)
+    assert len(hits) == 1
+
+    params = SketchParams()
+    cfg = ChainConfig()
+    r = sketch_genome("r", [ref_b], params)
+    q = sketch_genome("q", [q_b], params)
+    res = chain_seeds(r, q, cfg)
+    assert hits[0].identity == pytest.approx(res.ani, abs=2e-6)
+    assert hits[0].query_fraction == pytest.approx(
+        res.align_fraction_query, abs=2e-6)
+    assert hits[0].reference_fraction == pytest.approx(
+        res.align_fraction_ref, abs=2e-6)
