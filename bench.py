@@ -171,9 +171,14 @@ def build_block_runner(batch, cfg, budgets, app):
             rect_tiles.append((ridx, qidx, jnp.asarray(rpad),
                                jnp.asarray(qpad)))
 
+    import jax
+
     def run(check=False):
-        # dispatch every tile asynchronously; fetch results once at the
-        # end so host->device dispatch overlaps device compute
+        # dispatch every tile asynchronously, then fetch ALL results with
+        # ONE device_get — per-tile np.asarray would pay one round trip
+        # per array through the remote device tunnel
+        want = ("ani_mean", "anchors_overflow", "n_chains") if check \
+            else ("ani_mean",)
         touts = [(pr, pq, keep,
                   chain_triangle(take_sketch(batch, g), cfg=cfg,
                                  budgets=budgets, total_anchors=tri_total))
@@ -183,21 +188,23 @@ def build_block_runner(batch, cfg, budgets, app):
                               take_sketch(batch, qp),
                               cfg=cfg, budgets=budgets, total_anchors=total))
                  for ridx, qidx, rp, qp in rect_tiles]
+        fetched = jax.device_get(
+            [{k: o[k] for k in want} for *_, o in touts] +
+            [{k: o[k] for k in want} for *_, o in routs])
         ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
-        for pr, pq, keep, o in touts:
-            ani[pr, pq] = np.asarray(o["ani_mean"])[keep]
+        for (pr, pq, keep, _), o in zip(touts, fetched):
+            ani[pr, pq] = o["ani_mean"][keep]
             if check:
-                assert not bool(np.any(np.asarray(o["anchors_overflow"]))), \
+                assert not bool(np.any(o["anchors_overflow"])), \
                     "anchor pool overflow — raise BENCH app budget"
-                assert int(np.max(np.asarray(o["n_chains"]))) <= \
+                assert int(np.max(o["n_chains"])) <= \
                     budgets.max_chains_per_pair, "chain table overflow"
-        for ridx, qidx, o in routs:
-            ani[np.ix_(ridx, qidx)] = \
-                np.asarray(o["ani_mean"])[:len(ridx), :len(qidx)]
+        for (ridx, qidx, _), o in zip(routs, fetched[len(touts):]):
+            ani[np.ix_(ridx, qidx)] = o["ani_mean"][:len(ridx), :len(qidx)]
             if check:
-                assert not bool(np.any(np.asarray(o["anchors_overflow"]))), \
+                assert not bool(np.any(o["anchors_overflow"])), \
                     "anchor pool overflow — raise BENCH app budget"
-                assert int(np.max(np.asarray(o["n_chains"]))) <= \
+                assert int(np.max(o["n_chains"])) <= \
                     budgets.max_chains_per_pair, "chain table overflow"
         return {"ani_mean": ani}
 
@@ -244,7 +251,10 @@ def build_triangle_runner(batch, cfg, budgets, app, nf):
                     rect_tiles.append((ridx, qidx, jnp.asarray(rpad),
                                        jnp.asarray(qpad)))
 
+    import jax
+
     def run(check=False):
+        want = ("ani_mean", "anchors_overflow") if check else ("ani_mean",)
         outs = [(pr, pq, keep,
                  chain_triangle(take_sketch(batch, g), cfg=cfg,
                                 budgets=budgets, total_anchors=tri_total))
@@ -255,16 +265,18 @@ def build_triangle_runner(batch, cfg, budgets, app, nf):
                                   budgets=budgets,
                                   total_anchors=rect_total))
                      for ridx, qidx, rp, qp in rect_tiles]
+        fetched = jax.device_get(
+            [{k: o[k] for k in want} for *_, o in outs] +
+            [{k: o[k] for k in want} for *_, o in rect_outs])
         ani = np.zeros((N_GENOMES, N_GENOMES), np.float32)
-        for pr, pq, keep, o in outs:
-            ani[pr, pq] = np.asarray(o["ani_mean"])[keep]
+        for (pr, pq, keep, _), o in zip(outs, fetched):
+            ani[pr, pq] = o["ani_mean"][keep]
             if check:
-                assert not bool(np.any(np.asarray(o["anchors_overflow"])))
-        for ridx, qidx, o in rect_outs:
-            ani[np.ix_(ridx, qidx)] = \
-                np.asarray(o["ani_mean"])[:len(ridx), :len(qidx)]
+                assert not bool(np.any(o["anchors_overflow"]))
+        for (ridx, qidx, _), o in zip(rect_outs, fetched[len(outs):]):
+            ani[np.ix_(ridx, qidx)] = o["ani_mean"][:len(ridx), :len(qidx)]
             if check:
-                assert not bool(np.any(np.asarray(o["anchors_overflow"])))
+                assert not bool(np.any(o["anchors_overflow"]))
         return {"ani_mean": ani}
 
     return run, len(tri_tiles) + len(rect_tiles)

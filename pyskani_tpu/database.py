@@ -284,8 +284,13 @@ class Database:
             return self._stack_cache
         names = [os.path.basename(m.name) for m in self._markers]
         refs = [self._storage.load(n) for n in names]
-        bucket = round_up(max(int(r.device.n_seeds) for r in refs), 8192)
-        mbucket = round_up(max(int(r.device.n_markers) for r in refs), 512)
+        # one batched fetch for every count scalar (vs 2 round trips per
+        # reference through a remote device tunnel)
+        import jax as _jax
+        counts = _jax.device_get([(r.device.n_seeds, r.device.n_markers)
+                                  for r in refs])
+        bucket = round_up(max(int(n) for n, _ in counts), 8192)
+        mbucket = round_up(max(int(m) for _, m in counts), 512)
         stack = stack_sketches(refs, seed_budget=bucket,
                                marker_budget=mbucket)
         out = (names, stack, bucket, mbucket)

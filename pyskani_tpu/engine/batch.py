@@ -24,14 +24,17 @@ from ..ops.chain import (EngineBudgets, chain_block, chain_pair, chain_pairs,
 from ..ops.sketch import DeviceSketch, HostSketch, round_up
 
 
-def repad_sketch(host: HostSketch, seed_budget: int, marker_budget: int,
-                 max_contigs: int = 256) -> DeviceSketch:
-    """Re-pad a sketch's arrays to common budgets (host-side numpy)."""
-    dev = host.device
+def _repad_host(dev, name: str, seed_budget: int, marker_budget: int,
+                max_contigs: int = 256) -> DeviceSketch:
+    """Pad a host-fetched sketch pytree to common budgets (pure numpy).
+
+    ``dev`` must already live on the host (``jax.device_get`` of a
+    ``DeviceSketch`` or a disk-loaded one) — no per-field transfers.
+    """
     n = int(dev.n_seeds)
     m = int(dev.n_markers)
     if n > seed_budget or m > marker_budget:
-        raise ValueError(f"sketch {host.name} exceeds budgets "
+        raise ValueError(f"sketch {name} exceeds budgets "
                          f"({n}>{seed_budget} or {m}>{marker_budget})")
 
     def pad(arr, size, fill):
@@ -42,35 +45,64 @@ def repad_sketch(host: HostSketch, seed_budget: int, marker_budget: int,
         return out
 
     return DeviceSketch(
-        kmers=jnp.asarray(pad(dev.kmers[:n], seed_budget, 0xFFFFFFFF)),
-        positions=jnp.asarray(pad(dev.positions[:n], seed_budget, 0x7FFFFFFF)),
-        contig_ids=jnp.asarray(pad(dev.contig_ids[:n], seed_budget, 0x7FFFFFFF)),
-        strands=jnp.asarray(pad(dev.strands[:n], seed_budget, False)),
-        own_mult=jnp.asarray(pad(dev.own_mult[:n], seed_budget, 0)),
-        p_positions=jnp.asarray(pad(dev.p_positions[:n], seed_budget, 0x7FFFFFFF)),
-        p_contig_ids=jnp.asarray(pad(dev.p_contig_ids[:n], seed_budget, 0x7FFFFFFF)),
-        p_own_mult=jnp.asarray(pad(dev.p_own_mult[:n], seed_budget, 0)),
-        markers_hi=jnp.asarray(pad(dev.markers_hi[:m], marker_budget, 0xFFFFFFFF)),
-        markers_lo=jnp.asarray(pad(dev.markers_lo[:m], marker_budget, 0xFFFFFFFF)),
-        n_seeds=dev.n_seeds, n_markers=dev.n_markers,
-        contig_lengths=jnp.asarray(pad(dev.contig_lengths,
-                                       max_contigs, 0)),
-        n_contigs=dev.n_contigs, total_len=dev.total_len,
+        kmers=pad(dev.kmers[:n], seed_budget, 0xFFFFFFFF),
+        positions=pad(dev.positions[:n], seed_budget, 0x7FFFFFFF),
+        contig_ids=pad(dev.contig_ids[:n], seed_budget, 0x7FFFFFFF),
+        strands=pad(dev.strands[:n], seed_budget, False),
+        own_mult=pad(dev.own_mult[:n], seed_budget, 0),
+        p_positions=pad(dev.p_positions[:n], seed_budget, 0x7FFFFFFF),
+        p_contig_ids=pad(dev.p_contig_ids[:n], seed_budget, 0x7FFFFFFF),
+        p_own_mult=pad(dev.p_own_mult[:n], seed_budget, 0),
+        markers_hi=pad(dev.markers_hi[:m], marker_budget, 0xFFFFFFFF),
+        markers_lo=pad(dev.markers_lo[:m], marker_budget, 0xFFFFFFFF),
+        n_seeds=np.asarray(dev.n_seeds), n_markers=np.asarray(dev.n_markers),
+        contig_lengths=pad(dev.contig_lengths, max_contigs, 0),
+        n_contigs=np.asarray(dev.n_contigs),
+        total_len=np.asarray(dev.total_len),
     )
+
+
+def repad_sketch(host: HostSketch, seed_budget: int, marker_budget: int,
+                 max_contigs: int = 256) -> DeviceSketch:
+    """Re-pad a sketch's arrays to common budgets.
+
+    Fetches the sketch to the host in ONE batched transfer, pads in
+    numpy, and re-uploads with ONE ``device_put`` — through a remote
+    device tunnel, per-field round trips dominate wall clock otherwise.
+    """
+    fetched = jax.device_get(host.device)
+    return jax.device_put(
+        _repad_host(fetched, host.name, seed_budget, marker_budget,
+                    max_contigs))
+
+
+def stack_sketches_host(sketches: Sequence[HostSketch],
+                        seed_budget: int | None = None,
+                        marker_budget: int | None = None) -> DeviceSketch:
+    """Stack sketches into one batched numpy pytree (leading axis N).
+
+    All device arrays are fetched with a single ``jax.device_get`` of the
+    whole list — N sketches cost one round trip, not 13*N.  The result
+    stays on the host; callers ship it with one ``device_put`` (see
+    :func:`stack_sketches`) or shard it over a mesh.
+    """
+    fetched = jax.device_get([s.device for s in sketches])
+    if seed_budget is None:
+        seed_budget = round_up(max(int(d.n_seeds) for d in fetched), 1024)
+    if marker_budget is None:
+        marker_budget = round_up(
+            max(int(d.n_markers) for d in fetched), 512)
+    padded = [_repad_host(d, s.name, seed_budget, marker_budget)
+              for d, s in zip(fetched, sketches)]
+    return jax.tree.map(lambda *xs: np.stack(xs), *padded)
 
 
 def stack_sketches(sketches: Sequence[HostSketch],
                    seed_budget: int | None = None,
                    marker_budget: int | None = None) -> DeviceSketch:
     """Stack sketches into one batched DeviceSketch (leading axis N)."""
-    if seed_budget is None:
-        seed_budget = round_up(max(int(s.device.n_seeds) for s in sketches),
-                               1024)
-    if marker_budget is None:
-        marker_budget = round_up(
-            max(int(s.device.n_markers) for s in sketches), 512)
-    padded = [repad_sketch(s, seed_budget, marker_budget) for s in sketches]
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+    return jax.device_put(
+        stack_sketches_host(sketches, seed_budget, marker_budget))
 
 
 def take_sketch(batch: DeviceSketch, idx) -> DeviceSketch:

@@ -27,16 +27,14 @@ import numpy as np
 from ..oracle.chain import ChainConfig
 from ..ops.chain import EngineBudgets, chain_block
 from ..ops.sketch import HostSketch, round_up
-from .batch import repad_sketch
+from .batch import stack_sketches_host
 
 
 def _host_stack(sketches: Sequence[HostSketch], seed_budget: int,
                 marker_budget: int):
     """Stack sketches on the HOST (numpy) so one device_put moves the
     whole chunk (a single large async transfer beats N small ones)."""
-    padded = [repad_sketch(s, seed_budget, marker_budget) for s in sketches]
-    return jax.tree.map(
-        lambda *xs: np.stack([np.asarray(x) for x in xs]), *padded)
+    return stack_sketches_host(sketches, seed_budget, marker_budget)
 
 
 def stream_one_vs_many(load: Callable[[str], HostSketch], names: List[str],

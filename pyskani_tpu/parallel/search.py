@@ -23,7 +23,7 @@ from jax.sharding import Mesh
 
 from .. import regression
 from ..hit import Hit
-from ..engine.batch import repad_sketch, stack_sketches
+from ..engine.batch import stack_sketches, stack_sketches_host
 from ..ops.sketch import round_up, sketch_genomes_device
 from ..params import SEARCH_ANI_CUTOFF_DEFAULT, MIN_ANI_KEEP
 from .dist import make_sharded_search, replicate, shard_leading
@@ -109,15 +109,17 @@ class ShardedDatabaseSearch:
                         f"searcher's budget (max_fragments={self._nf}, "
                         f"sized from the reference store); rebuild with "
                         f"a larger budget or shorter queries")
-            padded = [repad_sketch(s, max(self._bucket,
-                                          s.device.seed_budget),
-                                   max(self._mbucket,
-                                       s.device.marker_budget))
-                      for s in sk]
-            qstack = jax.tree.map(lambda *xs: jnp.stack(xs), *padded)
+            qstack = stack_sketches_host(
+                sk,
+                max(self._bucket,
+                    max(s.device.seed_budget for s in sk)),
+                max(self._mbucket,
+                    max(s.device.marker_budget for s in sk)))
             if n < qg:
+                # numpy concat: the stack stays host-side until the one
+                # sharded device_put below
                 qstack = jax.tree.map(
-                    lambda x: jnp.concatenate([x] + [x[:1]] * (qg - n)),
+                    lambda x: np.concatenate([x] + [x[:1]] * (qg - n)),
                     qstack)
             qsh = shard_leading(self._mesh, qstack, "batch")
             out = self._step(self._refs, qsh)
