@@ -638,12 +638,14 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     return out
 
 
-def _seg_scan_stats(first: jax.Array, fields: dict) -> dict:
+def _seg_scan_stats(first: jax.Array, fields: dict, axis: int = 0) -> dict:
     """Fused segmented reduction scan: within each segment (delimited by
     ``first`` flags), running count/min/max/sum per field.  Values at the
     LAST element of each segment are the per-segment reductions.  One
     associative_scan over the whole pytree — linear HBM passes instead of
-    the random-access scatters the per-pair stats used."""
+    the random-access scatters the per-pair stats used.  ``axis`` selects
+    the scan dimension (row-wise scans over 2D grids pay log2(PF) levels
+    instead of log2(R*PF))."""
     ops = {"cnt": lambda a, b: a + b, "qmn": jnp.minimum,
            "qmx": jnp.maximum, "rmn": jnp.minimum, "rmx": jnp.maximum,
            "smx": jnp.maximum, "sum": lambda a, b: a + b,
@@ -658,7 +660,8 @@ def _seg_scan_stats(first: jax.Array, fields: dict) -> dict:
             out[k] = jnp.where(f, v, ops[k](a[k], v))
         return out
 
-    return jax.lax.associative_scan(comb, dict(fields, flag=first))
+    return jax.lax.associative_scan(comb, dict(fields, flag=first),
+                                    axis=axis)
 
 
 def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
@@ -674,11 +677,13 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     list for chain_triangle).
 
     Replaces the vmapped per-pair scatter reductions (7 scatter ops over
-    [NF, PF+1] grids — the dominant post-DP cost on TPU) with ONE sort of
-    all anchors by chain key (row*PF + root) followed by a fused
-    segmented scan; per-chain values sit at segment ends, and row-level
-    aggregates (fragment numerators, spans) come from a second segmented
-    scan over those ends.
+    [NF, PF+1] grids — the dominant post-DP cost on TPU) with a PER-ROW
+    sort of the [R, PF] anchor grid by chain root followed by fused
+    per-row segmented scans; per-chain values sit at segment ends, and
+    row-level aggregates (fragment numerators, spans) are masked row
+    reductions.  Chain segments never span rows, so every scan/sort runs
+    along axis -1 (log2(PF) levels, vectorized across rows) instead of
+    over the flattened R*PF stream.
 
     The per-pair tail (AF interval unions, estimators) never touches the
     full anchor stream: kept chain ends are compacted into a
@@ -695,28 +700,27 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     R = P * NF
     ext_l, ext_r = cfg.extend_left, cfg.extend_right
 
-    meta = merged["meta"].reshape(-1)
-    valid = (meta & 1) == 1
-    rows = jnp.broadcast_to(
-        jnp.arange(R, dtype=jnp.int32)[:, None], (R, PF)).reshape(-1)
-    rootc = jnp.clip(roots.reshape(-1), 0, PF - 1)
-    # chain key: row * (PF+1) + root.  Invalid anchors go to a per-ROW
-    # overflow bucket (root slot PF) so the globally sorted array stays
-    # pair-contiguous — every element keeps a key inside its own pair's
-    # key range, making the later reshape(P, NF*PF) exact.
-    key = rows * (PF + 1) + jnp.where(valid, rootc, PF)
-    key_s, qpos_s, rpos_s, score_s, meta_s = jax.lax.sort(
-        (key, merged["qpos"].reshape(-1), merged["rpos"].reshape(-1),
-         scores.reshape(-1), meta), num_keys=1)
+    meta2 = merged["meta"]                               # [R, PF]
+    valid2 = (meta2 & 1) == 1
+    root2 = jnp.clip(roots, 0, PF - 1)
+    # per-row chain key: root slot; invalid anchors go to the per-row
+    # overflow bucket PF.  The old global sort key row*(PF+1)+key was
+    # row-dominated, so sorting each row independently along axis -1
+    # yields the IDENTICAL flattened stream (stable sort, rows already in
+    # order) for log^2(PF) compare stages instead of log^2(R*PF) — ~7x
+    # fewer passes over the four payload arrays.
+    inkey = jnp.where(valid2, root2, PF)
+    inkey_s, qpos_s, rpos_s, score_s, meta_s = jax.lax.sort(
+        (inkey, merged["qpos"], merged["rpos"], scores, meta2),
+        dimension=1, num_keys=1)
 
-    n = key_s.shape[0]
-    first = jnp.concatenate([jnp.ones(1, bool), key_s[1:] != key_s[:-1]])
+    seg_edge = inkey_s[:, 1:] != inkey_s[:, :-1]
+    first = jnp.concatenate([jnp.ones((R, 1), bool), seg_edge], axis=1)
     scan = _seg_scan_stats(first, dict(
-        cnt=jnp.ones(n, jnp.int32), qmn=qpos_s, qmx=qpos_s,
-        rmn=rpos_s, rmx=rpos_s, smx=score_s))
-    is_last = jnp.concatenate([key_s[1:] != key_s[:-1],
-                               jnp.ones(1, bool)])
-    chain_end = is_last & (key_s % (PF + 1) != PF)
+        cnt=jnp.ones((R, PF), jnp.int32), qmn=qpos_s, qmx=qpos_s,
+        rmn=rpos_s, rmx=rpos_s, smx=score_s), axis=1)
+    is_last = jnp.concatenate([seg_edge, jnp.ones((R, 1), bool)], axis=1)
+    chain_end = is_last & (inkey_s != PF)
     c_count = scan["cnt"]
     c_score = scan["smx"]
     keep = chain_end & (c_count >= cfg.min_anchors_chain)
@@ -726,83 +730,67 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         keep |= chain_end & (c_count >= 2) & \
             ((scan["qmx"] - scan["qmn"]) >= cfg.keep_long_span)
 
-    # ---- row-level aggregates via a second segmented scan over ends ----
-    row_of = key_s // (PF + 1)
-    row_first = jnp.concatenate([jnp.ones(1, bool),
-                                 row_of[1:] != row_of[:-1]])
-    scan2 = _seg_scan_stats(row_first, dict(
-        sum=jnp.where(keep, c_count, 0),
-        lo=jnp.where(keep, scan["qmn"] - ext_l, POS_BIG),
-        hi=jnp.where(keep, scan["qmx"] + ext_r, NEG_BIG)))
-    row_ids = jnp.arange(R, dtype=jnp.int32)
-    row_last = jnp.clip(
-        jnp.searchsorted(row_of, row_ids, side="right") - 1, 0, n - 1)
-    row_has = row_of[row_last] == row_ids
-    numer = jnp.where(row_has, scan2["sum"][row_last], 0)          # [R]
-    span_lo = jnp.where(row_has, scan2["lo"][row_last], POS_BIG)
-    span_hi = jnp.where(row_has, scan2["hi"][row_last], NEG_BIG)
+    # ---- row-level aggregates: masked reductions along the row axis ----
+    numer = jnp.sum(jnp.where(keep, c_count, 0), axis=1)           # [R]
+    span_lo = jnp.min(jnp.where(keep, scan["qmn"] - ext_l, POS_BIG), axis=1)
+    span_hi = jnp.max(jnp.where(keep, scan["qmx"] + ext_r, NEG_BIG), axis=1)
 
     # ---- compact kept chain ends into [P, CE] tables (one scatter) ----
     CE = budgets.max_chains_per_pair
-    pair_of = row_of // NF
     keep_i = keep.astype(jnp.int32)
-    kc = jnp.cumsum(keep_i)
-    pair_first = jnp.concatenate([jnp.ones(1, bool),
-                                  pair_of[1:] != pair_of[:-1]])
-    # kept ends before my pair starts (kc - keep is non-decreasing, so the
-    # cummax holds the most recent pair's base)
-    pair_base = jax.lax.cummax(jnp.where(pair_first, kc - keep_i, 0))
-    rank = kc - 1 - pair_base                     # rank among kept in pair
-    slot = jnp.where(keep & (rank < CE), pair_of * CE + rank, P * CE)
-    # scatter ONE index word, then gather the 6 payload fields at the
+    row_kc = jnp.sum(keep_i, axis=1)                               # [R]
+    rk = row_kc.reshape(P, NF)
+    # kept ends before this row within its pair (exclusive row prefix)
+    row_base = (jnp.cumsum(rk, axis=1) - rk).reshape(R)
+    in_row = jnp.cumsum(keep_i, axis=1) - keep_i                   # excl
+    rank = row_base[:, None] + in_row             # kept rank within pair
+    pair_of_row = jnp.arange(R, dtype=jnp.int32) // NF             # [R]
+    slot = jnp.where(keep & (rank < CE),
+                     pair_of_row[:, None] * CE + rank, P * CE)
+    n = R * PF
+    # scatter ONE index word, then gather the payload fields at the
     # (1000x smaller) table: 1/6 the scatter traffic of scattering the
     # stacked payload rows directly
-    tbl_i = jnp.zeros(P * CE + 1, jnp.int32).at[slot].max(
-        jnp.arange(1, n + 1, dtype=jnp.int32))      # 0 = empty slot
+    iflat = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(R, PF)
+    tbl_i = jnp.zeros(P * CE + 1, jnp.int32).at[slot.reshape(-1)].max(
+        iflat.reshape(-1))                          # 0 = empty slot
     tbl_i = tbl_i[:P * CE]
     end_valid = (tbl_i > 0).reshape(P, CE)
     src_i = jnp.maximum(tbl_i - 1, 0)
     end_qmn, end_qmx, end_rmn, end_rmx, end_meta = (
-        jnp.where(end_valid, f[src_i].reshape(P, CE), I32_SENTINEL)
+        jnp.where(end_valid, f.reshape(-1)[src_i].reshape(P, CE),
+                  I32_SENTINEL)
         for f in (scan["qmn"], scan["qmx"], scan["rmn"], scan["rmx"],
                   meta_s))
-    # kept-chain count per pair (for overflow diagnostics): last kc of the
-    # pair minus the pair base
-    pair_ids_r = jnp.arange(P, dtype=jnp.int32)
-    n_elems = pair_of.shape[0]
-    pair_last = jnp.clip(
-        jnp.searchsorted(pair_of, pair_ids_r, side="right") - 1,
-        0, n_elems - 1)
-    n_chains = jnp.where(pair_of[pair_last] == pair_ids_r,
-                         kc[pair_last] - pair_base[pair_last], 0)
+    # kept-chain count per pair (for overflow diagnostics)
+    n_chains = jnp.sum(rk, axis=1)                                 # [P]
 
     if cfg.est_side == "both":
-        # ---- ref-fragment numerators over the sorted anchor stream ----
-        # each element's chain keep flag lives at its segment END in the
-        # key-sorted stream; propagate it to every segment element by
-        # scanning the REVERSED stream (ends become starts) — one cheap
-        # segmented associative_scan instead of a log(n)-round gather
-        # cascade — then bin kept anchors by (pair, ref fragment) with
-        # one scatter-add.
+        # ---- ref-fragment numerators over the sorted anchor grid ----
+        # each element's chain keep flag lives at its segment END; chain
+        # segments never span rows, so propagate the flag backwards with
+        # a reversed PER-ROW segmented scan, then bin kept anchors by
+        # (pair, ref fragment) with one scatter-add.
         Cr = refs.contig_lengths.shape[1]
-        rev_start = is_last[::-1]
-        rev_val = jnp.where(rev_start, keep[::-1], False)
+        rev_start = is_last[:, ::-1]
+        rev_val = jnp.where(rev_start, keep[:, ::-1], False)
 
         def _carry(a, b):
             return (a[0] | b[0], jnp.where(b[0], b[1], a[1]))
 
-        _, keep_fill = jax.lax.associative_scan(_carry,
-                                                (rev_start, rev_val))
-        keep_elem = keep_fill[::-1] & ((meta_s & 1) == 1)
+        _, keep_fill = jax.lax.associative_scan(
+            _carry, (rev_start, rev_val), axis=1)
+        keep_elem = keep_fill[:, ::-1] & ((meta_s & 1) == 1)
         rcid_el = jnp.clip((meta_s >> 3) & 0x3FFF, 0, Cr - 1)
-        g_of = tail_r[jnp.clip(pair_of, 0, P - 1)]      # ref genome id
+        g_of = tail_r[pair_of_row]                    # [R] ref genome id
         refrag = r_frag_offs.reshape(-1)[
-            g_of * r_frag_offs.shape[1] + rcid_el] + \
+            g_of[:, None] * r_frag_offs.shape[1] + rcid_el] + \
             jnp.clip(rpos_s, 0, POS_BIG) // fl
-        ok_el = keep_elem & (refrag < NF) & (pair_of < P)
+        ok_el = keep_elem & (refrag < NF)
         numer_r = jnp.zeros(P * NF + 1, jnp.int32).at[
-            jnp.where(ok_el, pair_of * NF + refrag, P * NF)].add(
-            ok_el.astype(jnp.int32))[:P * NF].reshape(P, NF)
+            jnp.where(ok_el, pair_of_row[:, None] * NF + refrag,
+                      P * NF).reshape(-1)].add(
+            ok_el.astype(jnp.int32).reshape(-1))[:P * NF].reshape(P, NF)
     else:
         numer_r = jnp.zeros((P, NF), jnp.int32)
 

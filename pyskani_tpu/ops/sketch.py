@@ -337,15 +337,15 @@ def _blank_seed_table(dev: "DeviceSketch") -> "DeviceSketch":
     S = dev.seed_budget
     return dataclasses.replace(
         dev,
-        kmers=jnp.full((S,), 0xFFFFFFFF, jnp.uint32),
-        positions=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
-        contig_ids=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
-        strands=jnp.zeros((S,), bool),
-        own_mult=jnp.zeros((S,), jnp.int32),
-        p_positions=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
-        p_contig_ids=jnp.full((S,), 0x7FFFFFFF, jnp.int32),
-        p_own_mult=jnp.zeros((S,), jnp.int32),
-        n_seeds=jnp.int32(0),
+        kmers=np.full((S,), 0xFFFFFFFF, np.uint32),
+        positions=np.full((S,), 0x7FFFFFFF, np.int32),
+        contig_ids=np.full((S,), 0x7FFFFFFF, np.int32),
+        strands=np.zeros((S,), bool),
+        own_mult=np.zeros((S,), np.int32),
+        p_positions=np.full((S,), 0x7FFFFFFF, np.int32),
+        p_contig_ids=np.full((S,), 0x7FFFFFFF, np.int32),
+        p_own_mult=np.zeros((S,), np.int32),
+        n_seeds=np.int32(0),
     )
 
 
@@ -401,6 +401,7 @@ def sketch_genome_device(
         jnp.int32(len(kept)),
         k=params.k, marker_k=params.marker_k, c=params.c,
         marker_c=params.marker_c, seed_budget=sb, marker_budget=mb)
+    out = jax.device_get(out)  # one batched fetch; sketches live on host
 
     clens = np.zeros(max_contigs, dtype=np.int32)
     clens[:len(lengths)] = lengths
@@ -412,9 +413,9 @@ def sketch_genome_device(
         p_own_mult=out["p_own_mult"],
         markers_hi=out["markers_hi"], markers_lo=out["markers_lo"],
         n_seeds=out["n_seeds"], n_markers=out["n_markers"],
-        contig_lengths=jnp.asarray(clens),
-        n_contigs=jnp.int32(len(lengths)),
-        total_len=jnp.int32(total),
+        contig_lengths=clens,
+        n_contigs=np.int32(len(lengths)),
+        total_len=np.int32(total),
     )
     if not seed:
         dev = _blank_seed_table(dev)
@@ -484,6 +485,12 @@ def sketch_genomes_device(
             seed_budget=sb, marker_budget=mb)
         res = jax.vmap(kern)(jnp.asarray(packed), jnp.asarray(starts),
                              jnp.asarray(ncon))
+        # fetch the whole batched result with ONE device_get: slicing the
+        # device arrays per genome/field would dispatch 13*B tiny device
+        # programs (each a full round trip through a remote device
+        # tunnel); host sketches are numpy-resident and re-uploaded in
+        # one device_put when stacked (engine/batch.py)
+        res = jax.device_get(res)
 
         for b, (name, kept, cnames, lengths, total) in enumerate(group):
             clens = np.zeros(max_contigs, dtype=np.int32)
@@ -498,9 +505,9 @@ def sketch_genomes_device(
                 markers_hi=res["markers_hi"][b],
                 markers_lo=res["markers_lo"][b],
                 n_seeds=res["n_seeds"][b], n_markers=res["n_markers"][b],
-                contig_lengths=jnp.asarray(clens),
-                n_contigs=jnp.int32(len(lengths)),
-                total_len=jnp.int32(total),
+                contig_lengths=clens,
+                n_contigs=np.int32(len(lengths)),
+                total_len=np.int32(total),
             )
             if not seed:
                 dev = _blank_seed_table(dev)
