@@ -362,6 +362,32 @@ def _interp_quantile(sorted_vals: jax.Array, n: jax.Array, q: float) -> jax.Arra
     return sorted_vals[lo] * (1 - w) + sorted_vals[hi] * w
 
 
+def _searchsorted_rows(table: jax.Array, rows: jax.Array, vals: jax.Array,
+                       side: str = "left") -> jax.Array:
+    """Vectorized ``searchsorted(table[rows[i]], vals[i])`` without
+    materializing a table row per query.
+
+    ``table`` is [G, S] with each row ascending; ``rows``/``vals`` share
+    an arbitrary shape.  A manual binary search costs log2(S) gathers of
+    ``vals.size`` elements — the vmapped alternative gathers a full [S]
+    row per query, which dominated the estimator tail (one seed-table
+    gather per PAIR for only NF searches each).
+    """
+    S = table.shape[-1]
+    if S == 0:  # e.g. a store of seed=False sketches (no positions)
+        return jnp.zeros(vals.shape, jnp.int32)
+    lo = jnp.zeros(vals.shape, jnp.int32)
+    hi = jnp.full(vals.shape, S, jnp.int32)
+    for _ in range(max(1, int(np.ceil(np.log2(S + 1))))):
+        mid = (lo + hi) >> 1
+        tv = table[rows, jnp.clip(mid, 0, S - 1)]
+        pred = (tv < vals) if side == "left" else (tv <= vals)
+        go = lo < hi
+        lo = jnp.where(go & pred, mid + 1, lo)
+        hi = jnp.where(go & ~pred, mid, hi)
+    return lo
+
+
 def _denom_prefix(sk: DeviceSketch, starts: jax.Array, cfg: ChainConfig):
     """(sorted global seed positions, prefix counts of denominator-eligible
     seeds) for one sketch — shared by both estimation grids."""
@@ -382,6 +408,34 @@ def _denom_prefix(sk: DeviceSketch, starts: jax.Array, cfg: ChainConfig):
 _REF_SPAN_PIECES = 4  # a chain's ref interval can cross ref-fragment
                       # boundaries (chains are query-fragment scoped);
                       # spans <= ~fragment_length+drift fit in 4 pieces
+
+
+def _ref_spans(clens_r: jax.Array, r_fo: jax.Array, keep_f: jax.Array,
+               rmn_f: jax.Array, rmx_f: jax.Array, rcid_f: jax.Array,
+               cfg: ChainConfig, NF: int):
+    """Kept-chain coverage spans over the REFERENCE fragment grid for one
+    pair — the span-scatter half of :func:`_ref_grid_estimates` (the
+    denominator half runs batched over per-genome tables in the block
+    tail).  Returns (span_lo [NF], span_hi [NF]) in contig-local
+    coordinates."""
+    fl = cfg.fragment_length
+    Cr = clens_r.shape[0]
+    rcid_safe = jnp.clip(rcid_f, 0, Cr - 1)
+    lo = jnp.maximum(rmn_f - cfg.extend_left, 0)
+    hi = jnp.minimum(rmx_f + cfg.extend_right, clens_r[rcid_safe] - 1)
+    f0_local = lo // fl
+    span_lo = jnp.full(NF + 1, POS_BIG)
+    span_hi = jnp.full(NF + 1, NEG_BIG)
+    for j in range(_REF_SPAN_PIECES):
+        base = (f0_local + j) * fl
+        plo = jnp.maximum(lo, base)
+        phi = jnp.minimum(hi, base + fl - 1)
+        fj = r_fo[rcid_safe] + f0_local + j
+        okp = keep_f & (plo <= phi) & (fj < NF)
+        slot = jnp.where(okp, fj, NF)
+        span_lo = span_lo.at[slot].min(jnp.where(okp, plo, POS_BIG))
+        span_hi = span_hi.at[slot].max(jnp.where(okp, phi, NEG_BIG))
+    return span_lo[:NF], span_hi[:NF]
 
 
 def _ref_grid_estimates(ref: DeviceSketch, keep_f: jax.Array,
@@ -735,33 +789,39 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     span_lo = jnp.min(jnp.where(keep, scan["qmn"] - ext_l, POS_BIG), axis=1)
     span_hi = jnp.max(jnp.where(keep, scan["qmx"] + ext_r, NEG_BIG), axis=1)
 
-    # ---- compact kept chain ends into [P, CE] tables (one scatter) ----
+    # ---- compact kept chain ends into [P, CE] tables ----
+    # Left-compact kept ends within each row with one cheap row sort
+    # (key: exclusive kept rank within the row; non-ends sort right),
+    # then pick chain c of pair p at (row, column) located by prefix
+    # arithmetic — a [P, CE]-sized gather instead of a full-grid scatter.
     CE = budgets.max_chains_per_pair
     keep_i = keep.astype(jnp.int32)
     row_kc = jnp.sum(keep_i, axis=1)                               # [R]
     rk = row_kc.reshape(P, NF)
     # kept ends before this row within its pair (exclusive row prefix)
-    row_base = (jnp.cumsum(rk, axis=1) - rk).reshape(R)
+    rb2 = jnp.cumsum(rk, axis=1) - rk                              # [P, NF]
     in_row = jnp.cumsum(keep_i, axis=1) - keep_i                   # excl
-    rank = row_base[:, None] + in_row             # kept rank within pair
     pair_of_row = jnp.arange(R, dtype=jnp.int32) // NF             # [R]
-    slot = jnp.where(keep & (rank < CE),
-                     pair_of_row[:, None] * CE + rank, P * CE)
-    n = R * PF
-    # scatter ONE index word, then gather the payload fields at the
-    # (1000x smaller) table: 1/6 the scatter traffic of scattering the
-    # stacked payload rows directly
-    iflat = jnp.arange(1, n + 1, dtype=jnp.int32).reshape(R, PF)
-    tbl_i = jnp.zeros(P * CE + 1, jnp.int32).at[slot.reshape(-1)].max(
-        iflat.reshape(-1))                          # 0 = empty slot
-    tbl_i = tbl_i[:P * CE]
-    end_valid = (tbl_i > 0).reshape(P, CE)
-    src_i = jnp.maximum(tbl_i - 1, 0)
+    cmp_key = jnp.where(keep, in_row, PF)
+    _, c_qmn, c_qmx, c_rmn, c_rmx, c_meta = jax.lax.sort(
+        (cmp_key, scan["qmn"], scan["qmx"], scan["rmn"], scan["rmx"],
+         meta_s), dimension=1, num_keys=1)
+    ce_ids = jnp.broadcast_to(jnp.arange(CE, dtype=jnp.int32)[None, :],
+                              (P, CE))
+    p_rows = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None],
+                              (P, CE))
+    # last row of the pair whose kept-prefix is <= c holds chain c
+    row_sel = jnp.clip(
+        _searchsorted_rows(rb2, p_rows, ce_ids, side="right") - 1,
+        0, NF - 1)
+    col_sel = ce_ids - jnp.take_along_axis(rb2, row_sel, axis=1)
+    end_valid = (col_sel >= 0) & \
+        (col_sel < jnp.take_along_axis(rk, row_sel, axis=1))
+    src_row = p_rows * NF + row_sel
+    col_cl = jnp.clip(col_sel, 0, PF - 1)
     end_qmn, end_qmx, end_rmn, end_rmx, end_meta = (
-        jnp.where(end_valid, f.reshape(-1)[src_i].reshape(P, CE),
-                  I32_SENTINEL)
-        for f in (scan["qmn"], scan["qmx"], scan["rmn"], scan["rmx"],
-                  meta_s))
+        jnp.where(end_valid, f[src_row, col_cl], I32_SENTINEL)
+        for f in (c_qmn, c_qmx, c_rmn, c_rmx, c_meta))
     # kept-chain count per pair (for overflow diagnostics)
     n_chains = jnp.sum(rk, axis=1)                                 # [P]
 
@@ -795,79 +855,103 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         numer_r = jnp.zeros((P, NF), jnp.int32)
 
     # ---- per-pair tail (denominators, estimators, AF unions) ----
+    # The seed-table work (denominator prefixes) is computed ONCE PER
+    # GENOME and searched with batched binary search — the old per-pair
+    # vmap re-gathered a full seed table per pair (G_r x more data moved
+    # than needed) and was the dominant tail cost.
     C = queries.contig_lengths.shape[1]
+    Cr = refs.contig_lengths.shape[1]
+    frag_ids = jnp.arange(NF, dtype=jnp.int32)
 
-    def tail(qi_idx, g_idx, numer, numer_r_p, span_lo, span_hi, keep_e,
-             qmn_e, qmx_e, rmn_e, rmx_e, meta_e):
-        query = jax.tree.map(lambda x: x[qi_idx], queries)
-        ref = jax.tree.map(lambda x: x[g_idx], refs)
+    q_pg, q_pref = jax.vmap(
+        lambda q, st: _denom_prefix(q, st, cfg))(queries, q_starts)
+    r_starts_all = jax.vmap(lambda r: _contig_layout(r, fl)[0])(refs)
+    if cfg.est_side == "both":
+        r_pg, r_pref = jax.vmap(
+            lambda r, st: _denom_prefix(r, st, cfg))(refs, r_starts_all)
+
+    # query fragment windows, per query genome then indexed per pair
+    frag_cid_g = jnp.clip(jax.vmap(
+        lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
+        q_frag_offs).astype(jnp.int32) - 1, 0, C - 1)        # [G_q, NF]
+    frag_base_g = (frag_ids[None, :] - jnp.take_along_axis(
+        q_frag_offs, frag_cid_g, axis=1)) * fl
+    frag_clen_g = jnp.take_along_axis(queries.contig_lengths,
+                                      frag_cid_g, axis=1)
+    frag_end_g = jnp.minimum(frag_base_g + fl - 1, frag_clen_g - 1)
+    qst_frag_g = jnp.take_along_axis(q_starts, frag_cid_g, axis=1)
+
+    lo = jnp.maximum(span_lo.reshape(P, NF), frag_base_g[tail_q])
+    hi = jnp.minimum(span_hi.reshape(P, NF), frag_end_g[tail_q])
+    g_lo = qst_frag_g[tail_q] + lo
+    g_hi = qst_frag_g[tail_q] + hi
+    rows_q = jnp.broadcast_to(tail_q[:, None], (P, NF))
+    q_denom = (
+        q_pref[rows_q, _searchsorted_rows(q_pg, rows_q, g_hi + 1)] -
+        q_pref[rows_q, _searchsorted_rows(q_pg, rows_q, g_lo)])
+    numer_p = numer.reshape(P, NF)
+    covered_q = numer_p >= jnp.maximum(1, cfg.min_frag_anchors)
+    ratio_q = jnp.minimum(numer_p.astype(jnp.float32) /
+                          jnp.maximum(q_denom.astype(jnp.float32), 1.0), 1.0)
+    frag_ani_q = jnp.where(covered_q, ratio_q ** (1.0 / float(cfg.k)),
+                           jnp.inf)
+
+    rcid_e = jnp.clip((end_meta >> 3) & 0x3FFF, 0, Cr - 1)
+    if cfg.est_side == "both":
+        # ref-fragment coverage spans per pair (small per-pair scatters),
+        # then batched denominators over the per-genome ref seed tables
+        span_lo_r, span_hi_r = jax.vmap(
+            lambda cl, fo, k, rmn, rmx, rc: _ref_spans(
+                cl, fo, k, rmn, rmx, rc, cfg, NF))(
+            refs.contig_lengths[tail_r], r_frag_offs[tail_r],
+            end_valid, end_rmn, end_rmx, rcid_e)
+        frag_cid_r = jnp.clip(jax.vmap(
+            lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
+            r_frag_offs).astype(jnp.int32) - 1, 0, Cr - 1)   # [G_r, NF]
+        rst_frag_g = jnp.take_along_axis(r_starts_all, frag_cid_r, axis=1)
+        g_lo_r = rst_frag_g[tail_r] + span_lo_r
+        g_hi_r = rst_frag_g[tail_r] + span_hi_r
+        rows_r = jnp.broadcast_to(tail_r[:, None], (P, NF))
+        r_denom = (
+            r_pref[rows_r, _searchsorted_rows(r_pg, rows_r, g_hi_r + 1)] -
+            r_pref[rows_r, _searchsorted_rows(r_pg, rows_r, g_lo_r)])
+        covered_r = numer_r >= jnp.maximum(1, cfg.min_frag_anchors)
+        ratio_r = jnp.minimum(
+            numer_r.astype(jnp.float32) /
+            jnp.maximum(r_denom.astype(jnp.float32), 1.0), 1.0)
+        fa_r = jnp.where(covered_r, ratio_r ** (1.0 / float(cfg.k)),
+                         jnp.inf)
+        fa_all = jnp.concatenate([frag_ani_q, fa_r], axis=1)
+        cov_all = jnp.concatenate([covered_q, covered_r], axis=1)
+    else:
+        fa_all, cov_all = frag_ani_q, covered_q
+
+    def tail(qi_idx, g_idx, fa_row, cov_row, keep_e,
+             qmn_e, qmx_e, rmn_e, rmx_e, meta_e, rcid_row):
         q_st = q_starts[qi_idx]
-        q_fo = q_frag_offs[qi_idx]
-        r_st, _ = _contig_layout(ref, fl)
+        q_clens = queries.contig_lengths[qi_idx]
+        r_st = r_starts_all[g_idx]
+        r_clens = refs.contig_lengths[g_idx]
 
-        frag_ids = jnp.arange(NF, dtype=jnp.int32)
-        frag_cid = (jnp.searchsorted(q_fo, frag_ids, side="right") - 1
-                    ).astype(jnp.int32)
-        frag_cid = jnp.clip(frag_cid, 0, C - 1)
-        frag_base = (frag_ids - q_fo[frag_cid]) * fl
-        frag_clen = query.contig_lengths[frag_cid]
-        frag_end = jnp.minimum(frag_base + fl - 1, frag_clen - 1)
-        lo = jnp.maximum(span_lo, frag_base)
-        hi = jnp.minimum(span_hi, frag_end)
-
-        denom_thr = cfg.denom_mask_mult or cfg.max_seed_multiplicity
-        p_valid = jnp.arange(query.seed_budget) < query.n_seeds
-        if cfg.mask_repetitive_denom == "none":
-            p_ok = p_valid
-        else:
-            p_ok = p_valid & (query.p_own_mult <= denom_thr)
-        p_cid_safe = jnp.clip(query.p_contig_ids, 0, C - 1)
-        p_gpos = jnp.where(p_valid, q_st[p_cid_safe] + query.p_positions,
-                           POS_BIG)
-        prefix = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                                  jnp.cumsum(p_ok.astype(jnp.int32))])
-        g_lo = q_st[frag_cid] + lo
-        g_hi = q_st[frag_cid] + hi
-        denom = prefix[jnp.searchsorted(p_gpos, g_hi + 1, side="left")] - \
-            prefix[jnp.searchsorted(p_gpos, g_lo, side="left")]
-
-        covered = numer >= jnp.maximum(1, cfg.min_frag_anchors)
-        ratio = jnp.minimum(numer.astype(jnp.float32) /
-                            jnp.maximum(denom.astype(jnp.float32), 1.0), 1.0)
-        frag_ani = jnp.where(covered, ratio ** (1.0 / cfg_k(query, cfg)),
-                             jnp.inf)
-
-        if cfg.est_side == "both":
-            fa_r, cov_r = _ref_grid_estimates(
-                ref, keep_e, rmn_e, rmx_e, (meta_e >> 3) & 0x3FFF,
-                numer_r_p, cfg, NF)
-            fa_all = jnp.concatenate([frag_ani, fa_r])
-            cov_all = jnp.concatenate([covered, cov_r])
-        else:
-            fa_all, cov_all = frag_ani, covered
-        est = _pooled_estimators(fa_all, cov_all, cfg)
+        est = _pooled_estimators(fa_row, cov_row, cfg)
 
         qcid_e = jnp.clip(meta_e >> 17, 0, C - 1)
-        rcid_e = jnp.clip((meta_e >> 3) & 0x3FFF, 0,
-                          ref.contig_lengths.shape[0] - 1)
         q_lo = q_st[qcid_e] + jnp.maximum(qmn_e - ext_l, 0)
         q_hi = q_st[qcid_e] + jnp.minimum(
-            qmx_e + ext_r, query.contig_lengths[qcid_e] - 1)
-        r_lo = r_st[rcid_e] + jnp.maximum(rmn_e - ext_l, 0)
-        r_hi = r_st[rcid_e] + jnp.minimum(
-            rmx_e + ext_r, ref.contig_lengths[rcid_e] - 1)
+            qmx_e + ext_r, q_clens[qcid_e] - 1)
+        r_lo = r_st[rcid_row] + jnp.maximum(rmn_e - ext_l, 0)
+        r_hi = r_st[rcid_row] + jnp.minimum(
+            rmx_e + ext_r, r_clens[rcid_row] - 1)
         af_q = _union_length(q_lo, q_hi, keep_e).astype(jnp.float32) / \
-            jnp.maximum(query.total_len.astype(jnp.float32), 1.0)
+            jnp.maximum(queries.total_len[qi_idx].astype(jnp.float32), 1.0)
         af_r = _union_length(r_lo, r_hi, keep_e).astype(jnp.float32) / \
-            jnp.maximum(ref.total_len.astype(jnp.float32), 1.0)
+            jnp.maximum(refs.total_len[g_idx].astype(jnp.float32), 1.0)
 
         return dict(est, af_query=af_q, af_ref=af_r)
 
     out = jax.vmap(tail)(
-        tail_q, tail_r,
-        numer.reshape(P, NF), numer_r,
-        span_lo.reshape(P, NF), span_hi.reshape(P, NF),
-        end_valid, end_qmn, end_qmx, end_rmn, end_rmx, end_meta)
+        tail_q, tail_r, fa_all, cov_all,
+        end_valid, end_qmn, end_qmx, end_rmn, end_rmx, end_meta, rcid_e)
     out["n_chains"] = n_chains
     return out
 
@@ -1100,12 +1184,14 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
                          q_frag_offs, cfg, budgets,
                          pair_ids // G_q, pair_ids % G_q,
                          r_frag_offs=r_frag_offs)
-    # per-pair anchor counts; the shared-pool overflow flag is broadcast
-    # to every pair of the block (the pool is shared, so any pair may be
-    # the one truncated)
-    pair_clip = jnp.where(a["valid"], a["pair"], P)
-    n_anchors = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
-        a["valid"].astype(jnp.int32))[:P]
+    # per-pair anchor counts: rowid_s ascends (primary sort key, invalid
+    # anchors sentinel-last), so counts are boundary differences — no
+    # scatter over the anchor stream.  The shared-pool overflow flag is
+    # broadcast to every pair of the block (the pool is shared, so any
+    # pair may be the one truncated).
+    bounds = jnp.searchsorted(
+        rowid_s, jnp.arange(P + 1, dtype=jnp.int32) * NF, side="left")
+    n_anchors = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     out["n_anchors"] = n_anchors
     out["anchors_overflow"] = jnp.broadcast_to(a["anchors_overflow"], (P,))
     return jax.tree.map(lambda x: x.reshape((G_r, G_q) + x.shape[1:]), out)
@@ -1310,9 +1396,11 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
                          q_frag_offs, cfg, budgets,
                          jnp.asarray(tri_r), jnp.asarray(tri_q),
                          r_frag_offs=q_frag_offs)
-    pair_clip = jnp.where(a["valid"], a["pair"], P)
-    out["n_anchors"] = jnp.zeros(P + 1, jnp.int32).at[pair_clip].add(
-        a["valid"].astype(jnp.int32))[:P]
+    # per-pair anchor counts from the rowid-sorted stream (rowid_s
+    # ascends, invalid anchors sentinel-last) — no scatter
+    bounds = jnp.searchsorted(
+        rowid_s, jnp.arange(P + 1, dtype=jnp.int32) * NF, side="left")
+    out["n_anchors"] = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     out["anchors_overflow"] = jnp.broadcast_to(a["anchors_overflow"], (P,))
     return out
 
