@@ -52,41 +52,114 @@ def make_genomes(n, length, seed=0):
     return out
 
 
+def make_batch_on_device(n, length, params, device_batch=8, seed=0):
+    """Generate the ~99%-ANI genome family ON DEVICE, sketch it there,
+    and return the stacked DeviceSketch batch — zero sequence uploads.
+
+    The remote device tunnel's uplink runs orders of magnitude slower
+    than its downlink (measured: ~0.01 MB/s up vs ~5 MB/s down when
+    congested); shipping 32 x 575 KB of packed genomes dominated the
+    bench wall clock.  The genomes are drawn from the same distribution
+    as :func:`make_genomes` (one random base + ~1% substitutions per
+    genome), so the workload is unchanged.
+
+    Returns (batch DeviceSketch [n, ...], sketch_seconds_per_stack_fn).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from pyskani_tpu.ops.sketch import (DeviceSketch, marker_budget_for,
+                                        round_up, seed_budget_for,
+                                        sketch_kernel)
+
+    assert length % 4 == 0
+    L = max(round_up(length, 1 << 20), 1 << 20)
+    sb = seed_budget_for(length, params.c)
+    mb = marker_budget_for(length, params.marker_c)
+    MC = 256
+    starts = np.zeros(MC + 1, np.int32)
+    starts[1:] = length
+    starts_d = jnp.asarray(np.broadcast_to(starts,
+                                           (device_batch, MC + 1)).copy())
+    ncon = jnp.ones(device_batch, jnp.int32)
+    kern = functools.partial(
+        sketch_kernel, k=params.k, marker_k=params.marker_k,
+        c=params.c, marker_c=params.marker_c,
+        seed_budget=sb, marker_budget=mb)
+
+    @jax.jit
+    def sketch_stack(base_key, stack_key):
+        base = jax.random.randint(base_key, (length,), 0, 4,
+                                  dtype=jnp.uint8)
+
+        def mut(k):
+            ki, kv = jax.random.split(k)
+            idx = jax.random.randint(ki, (length // 100,), 0, length)
+            vals = jax.random.randint(kv, (length // 100,), 0, 4,
+                                      dtype=jnp.uint8)
+            return base.at[idx].set(vals)
+
+        codes = jax.vmap(mut)(jax.random.split(stack_key, device_batch))
+        codes = jnp.pad(codes, ((0, 0), (0, L - length)))
+        q = codes.reshape(device_batch, L // 4, 4)
+        packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) |
+                  (q[..., 3] << 6)).astype(jnp.uint8)
+        return jax.vmap(kern)(packed, starts_d, ncon)
+
+    base_key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(jax.random.PRNGKey(seed + 1),
+                            -(-n // device_batch))
+    outs = [sketch_stack(base_key, k) for k in keys]
+    res = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *outs)
+    batch = DeviceSketch(
+        kmers=res["kmers"], positions=res["positions"],
+        contig_ids=res["contig_ids"], strands=res["strands"],
+        own_mult=res["own_mult"], p_positions=res["p_positions"],
+        p_contig_ids=res["p_contig_ids"], p_own_mult=res["p_own_mult"],
+        markers_hi=res["markers_hi"], markers_lo=res["markers_lo"],
+        n_seeds=res["n_seeds"], n_markers=res["n_markers"],
+        contig_lengths=jnp.zeros((n, MC), jnp.int32).at[:, 0].set(length),
+        n_contigs=jnp.ones(n, jnp.int32),
+        total_len=jnp.full(n, length, jnp.int32),
+    )
+
+    def resketch_one_stack():
+        out = sketch_stack(base_key, keys[0])
+        jax.device_get(out["n_seeds"])
+        return device_batch * length
+
+    return batch, resketch_one_stack
+
+
 def main():
     import jax
 
     from pyskani_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from pyskani_tpu.engine.batch import stack_sketches, take_sketch
     from pyskani_tpu.oracle.chain import ChainConfig
-    from pyskani_tpu.ops.chain import EngineBudgets, chain_block
-    from pyskani_tpu.ops.sketch import round_up, sketch_genomes_device
-
-    import jax.numpy as jnp
+    from pyskani_tpu.ops.chain import EngineBudgets
+    from pyskani_tpu.ops.sketch import round_up
 
     from pyskani_tpu.params import SketchParams
 
     dev = jax.devices()[0]
     params = SketchParams()
-    genomes = make_genomes(N_GENOMES, GENOME_LEN)
-    named = [(f"g{i}", [g]) for i, g in enumerate(genomes)]
 
-    # --- sketching (batched kernel; steady rate measured post-compile) ---
+    # --- sketching (device-generated family; steady rate post-compile) ---
     t0 = time.time()
-    sketches = sketch_genomes_device(named, params)
-    jax.block_until_ready(sketches[-1].device.kmers)
+    batch, resketch = make_batch_on_device(N_GENOMES, GENOME_LEN, params)
+    jax.device_get(batch.n_seeds[:1])
     t_sketch_all = time.time() - t0
-    # re-sketch a batch without compile cost for the steady-state rate
+    # re-sketch one stack without compile cost for the steady-state rate
     t0 = time.time()
-    warm = sketch_genomes_device(named[:min(8, N_GENOMES)], params)
-    jax.block_until_ready(warm[-1].device.kmers)
-    sketch_mbps = min(8, N_GENOMES) * GENOME_LEN / (time.time() - t0) / 1e6
+    bases = resketch()
+    sketch_mbps = bases / (time.time() - t0) / 1e6
 
     cfg = ChainConfig()
-    batch = stack_sketches(sketches)
-    nf = round_up(max(s.n_fragments(cfg.fragment_length)
-                      for s in sketches) + 2, 128)
+    nf = round_up(-(-GENOME_LEN // cfg.fragment_length) + 2, 128)
     budgets = EngineBudgets(
         max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
         max_fragments=nf,
