@@ -1,5 +1,6 @@
 """Device chaining pipeline vs the NumPy oracle."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -81,3 +82,25 @@ def test_unrelated_pair():
     d = _device_all([a], [b])
     assert d["ani_mean"] == pytest.approx(o["ani_mean"], abs=1e-5)
     assert d["af_query"] == pytest.approx(o["af_query"], abs=1e-6)
+
+
+def test_searchsorted_rows_matches_numpy():
+    """_searchsorted_rows == np.searchsorted row-wise, both sides."""
+    from pyskani_tpu.ops.chain import _searchsorted_rows
+
+    rng = np.random.default_rng(11)
+    G, S, N = 5, 37, 400
+    table = np.sort(rng.integers(0, 1000, (G, S)), axis=1).astype(np.int32)
+    rows = rng.integers(0, G, N).astype(np.int32)
+    vals = rng.integers(-5, 1005, N).astype(np.int32)
+    for side in ("left", "right"):
+        got = np.asarray(_searchsorted_rows(
+            jnp.asarray(table), jnp.asarray(rows), jnp.asarray(vals), side))
+        want = np.array([np.searchsorted(table[r], v, side=side)
+                         for r, v in zip(rows, vals)])
+        assert np.array_equal(got, want), side
+    # zero-width table guard (seed=False stores)
+    empty = jnp.zeros((G, 0), jnp.int32)
+    out = np.asarray(_searchsorted_rows(
+        empty, jnp.asarray(rows), jnp.asarray(vals)))
+    assert np.array_equal(out, np.zeros(N, np.int32))
