@@ -277,6 +277,15 @@ def check_overflow(out: dict, budgets: EngineBudgets,
     import warnings
 
     problems = []
+    if "pos_overflow" in out and bool(np.any(np.asarray(
+            out["pos_overflow"]))):
+        # not a budget issue: the packed block/triangle grid caps contig
+        # coordinates at 2^24 bp — results for such pairs are WRONG, so
+        # this one always raises (use chain_pairs for giant contigs)
+        raise RuntimeError(
+            "contig coordinate overflow: a contig exceeds 2^24 bp (or "
+            "256 contigs), beyond the packed block-grid range — use the "
+            "per-pair path for such genomes")
     if "anchors_overflow" in out and bool(np.any(np.asarray(
             out["anchors_overflow"]))):
         problems.append("anchor budget overflow: the shared anchor pool "

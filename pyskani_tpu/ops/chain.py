@@ -692,6 +692,39 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     return out
 
 
+def _pack_grid_words(qpos, rpos, rcid, rev, ok):
+    """Pack an anchor into two uint32 grid words:
+
+      w1 = qpos << 2 | rev << 1 | valid        (qpos < 2^30)
+      w2 = rpos << 8 | rcid                    (rpos < 2^24, rcid < 256)
+
+    Within a chain, rev and rcid are constant (the DP's same-chain
+    predicate requires them equal), so segment min/max of w1/w2 recover
+    exact qpos/rpos extrema by shifting.  Contigs >= 2^24 bp overflow w2
+    — reported loudly via the pos_overflow output (the per-pair
+    chain_pairs path has no such cap).
+    """
+    w1 = jnp.where(ok, (qpos.astype(jnp.uint32) << 2) |
+                   (rev.astype(jnp.uint32) << 1) | jnp.uint32(1),
+                   jnp.uint32(0))
+    w2 = jnp.where(ok, (rpos.astype(jnp.uint32) << 8) |
+                   (rcid.astype(jnp.uint32) & 0xFF), jnp.uint32(0))
+    return w1, w2
+
+
+def _dp_grid_from_words(w1g: jax.Array, w2g: jax.Array) -> dict:
+    """Elementwise-derived DP input planes from the packed grid words.
+
+    The synthetic meta keeps the kernel contract (same-chain predicate =
+    ``meta >> 1`` equality, valid = bit 0): rcid<<3 | rev<<1 | valid.
+    The query contig id is constant within a grid row, so its omission
+    cannot split or merge chains.
+    """
+    return {"qpos": (w1g >> 2).astype(jnp.int32),
+            "rpos": (w2g >> 8).astype(jnp.int32),
+            "meta": (((w2g & 0xFF) << 3) | (w1g & 3)).astype(jnp.int32)}
+
+
 def _seg_scan_stats(first: jax.Array, fields: dict, axis: int = 0) -> dict:
     """Fused segmented reduction scan: within each segment (delimited by
     ``first`` flags), running count/min/max/sum per field.  Values at the
@@ -718,7 +751,8 @@ def _seg_scan_stats(first: jax.Array, fields: dict, axis: int = 0) -> dict:
                                     axis=axis)
 
 
-def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
+def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
+                   w1g: jax.Array, w2g: jax.Array,
                    scores: jax.Array, roots: jax.Array, q_starts: jax.Array,
                    q_frag_offs: jax.Array, cfg: ChainConfig,
                    budgets: EngineBudgets, tail_r: jax.Array,
@@ -754,40 +788,43 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     R = P * NF
     ext_l, ext_r = cfg.extend_left, cfg.extend_right
 
-    meta2 = merged["meta"]                               # [R, PF]
-    valid2 = (meta2 & 1) == 1
+    valid2 = (w1g & 1) == 1
     root2 = jnp.clip(roots, 0, PF - 1)
     # per-row chain key: root slot; invalid anchors go to the per-row
     # overflow bucket PF.  The old global sort key row*(PF+1)+key was
     # row-dominated, so sorting each row independently along axis -1
     # yields the IDENTICAL flattened stream (stable sort, rows already in
     # order) for log^2(PF) compare stages instead of log^2(R*PF) — ~7x
-    # fewer passes over the four payload arrays.
+    # fewer passes over the payload arrays.
     inkey = jnp.where(valid2, root2, PF)
-    inkey_s, qpos_s, rpos_s, score_s, meta_s = jax.lax.sort(
-        (inkey, merged["qpos"], merged["rpos"], scores, meta2),
-        dimension=1, num_keys=1)
+    inkey_s, w1_s, w2_s, score_s = jax.lax.sort(
+        (inkey, w1g, w2g, scores), dimension=1, num_keys=1)
 
     seg_edge = inkey_s[:, 1:] != inkey_s[:, :-1]
     first = jnp.concatenate([jnp.ones((R, 1), bool), seg_edge], axis=1)
+    # segment min/max run on the PACKED words: rev/rcid (the low bits)
+    # are constant within a chain, so shifting the extrema recovers the
+    # exact qpos/rpos extrema — half the scan payload of separate planes
     scan = _seg_scan_stats(first, dict(
-        cnt=jnp.ones((R, PF), jnp.int32), qmn=qpos_s, qmx=qpos_s,
-        rmn=rpos_s, rmx=rpos_s, smx=score_s), axis=1)
+        cnt=jnp.ones((R, PF), jnp.int32), qmn=w1_s, qmx=w1_s,
+        rmn=w2_s, rmx=w2_s, smx=score_s), axis=1)
     is_last = jnp.concatenate([seg_edge, jnp.ones((R, 1), bool)], axis=1)
     chain_end = is_last & (inkey_s != PF)
     c_count = scan["cnt"]
     c_score = scan["smx"]
+    c_qmn = (scan["qmn"] >> 2).astype(jnp.int32)
+    c_qmx = (scan["qmx"] >> 2).astype(jnp.int32)
     keep = chain_end & (c_count >= cfg.min_anchors_chain)
     if cfg.min_chain_score > 0:
         keep &= c_score >= cfg.min_chain_score
     if cfg.keep_long_span > 0:
         keep |= chain_end & (c_count >= 2) & \
-            ((scan["qmx"] - scan["qmn"]) >= cfg.keep_long_span)
+            ((c_qmx - c_qmn) >= cfg.keep_long_span)
 
     # ---- row-level aggregates: masked reductions along the row axis ----
     numer = jnp.sum(jnp.where(keep, c_count, 0), axis=1)           # [R]
-    span_lo = jnp.min(jnp.where(keep, scan["qmn"] - ext_l, POS_BIG), axis=1)
-    span_hi = jnp.max(jnp.where(keep, scan["qmx"] + ext_r, NEG_BIG), axis=1)
+    span_lo = jnp.min(jnp.where(keep, c_qmn - ext_l, POS_BIG), axis=1)
+    span_hi = jnp.max(jnp.where(keep, c_qmx + ext_r, NEG_BIG), axis=1)
 
     # ---- compact kept chain ends into [P, CE] tables ----
     # Left-compact kept ends within each row with one cheap row sort
@@ -803,9 +840,9 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     in_row = jnp.cumsum(keep_i, axis=1) - keep_i                   # excl
     pair_of_row = jnp.arange(R, dtype=jnp.int32) // NF             # [R]
     cmp_key = jnp.where(keep, in_row, PF)
-    _, c_qmn, c_qmx, c_rmn, c_rmx, c_meta = jax.lax.sort(
-        (cmp_key, scan["qmn"], scan["qmx"], scan["rmn"], scan["rmx"],
-         meta_s), dimension=1, num_keys=1)
+    _, s_qmn, s_qmx, s_rmn, s_rmx = jax.lax.sort(
+        (cmp_key, scan["qmn"], scan["qmx"], scan["rmn"], scan["rmx"]),
+        dimension=1, num_keys=1)
     ce_ids = jnp.broadcast_to(jnp.arange(CE, dtype=jnp.int32)[None, :],
                               (P, CE))
     p_rows = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None],
@@ -819,9 +856,18 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         (col_sel < jnp.take_along_axis(rk, row_sel, axis=1))
     src_row = p_rows * NF + row_sel
     col_cl = jnp.clip(col_sel, 0, PF - 1)
-    end_qmn, end_qmx, end_rmn, end_rmx, end_meta = (
-        jnp.where(end_valid, f[src_row, col_cl], I32_SENTINEL)
-        for f in (c_qmn, c_qmx, c_rmn, c_rmx, c_meta))
+    qmn_w, qmx_w, rmn_w, rmx_w = (f[src_row, col_cl]
+                                  for f in (s_qmn, s_qmx, s_rmn, s_rmx))
+    end_qmn, end_qmx = (
+        jnp.where(end_valid, (w >> 2).astype(jnp.int32), I32_SENTINEL)
+        for w in (qmn_w, qmx_w))
+    end_rmn, end_rmx = (
+        jnp.where(end_valid, (w >> 8).astype(jnp.int32), I32_SENTINEL)
+        for w in (rmn_w, rmx_w))
+    # rcid rides the low byte of w2 (constant within a chain); the query
+    # contig id is a function of the chain's row (fragment), looked up in
+    # the tail
+    end_rcid = jnp.where(end_valid, (rmn_w & 0xFF).astype(jnp.int32), 0)
     # kept-chain count per pair (for overflow diagnostics)
     n_chains = jnp.sum(rk, axis=1)                                 # [P]
 
@@ -840,12 +886,12 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
 
         _, keep_fill = jax.lax.associative_scan(
             _carry, (rev_start, rev_val), axis=1)
-        keep_elem = keep_fill[:, ::-1] & ((meta_s & 1) == 1)
-        rcid_el = jnp.clip((meta_s >> 3) & 0x3FFF, 0, Cr - 1)
+        keep_elem = keep_fill[:, ::-1] & ((w1_s & 1) == 1)
+        rcid_el = jnp.clip((w2_s & 0xFF).astype(jnp.int32), 0, Cr - 1)
         g_of = tail_r[pair_of_row]                    # [R] ref genome id
         refrag = r_frag_offs.reshape(-1)[
             g_of[:, None] * r_frag_offs.shape[1] + rcid_el] + \
-            jnp.clip(rpos_s, 0, POS_BIG) // fl
+            (w2_s >> 8).astype(jnp.int32) // fl
         ok_el = keep_elem & (refrag < NF)
         numer_r = jnp.zeros(P * NF + 1, jnp.int32).at[
             jnp.where(ok_el, pair_of_row[:, None] * NF + refrag,
@@ -896,7 +942,11 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
     frag_ani_q = jnp.where(covered_q, ratio_q ** (1.0 / float(cfg.k)),
                            jnp.inf)
 
-    rcid_e = jnp.clip((end_meta >> 3) & 0x3FFF, 0, Cr - 1)
+    rcid_e = jnp.clip(end_rcid, 0, Cr - 1)
+    # query contig of each chain end: from its row (fragment) via the
+    # per-genome fragment->contig table — qcid no longer rides the grid
+    qcid_e = frag_cid_g[jnp.broadcast_to(tail_q[:, None], (P, CE)),
+                        row_sel]
     if cfg.est_side == "both":
         # ref-fragment coverage spans per pair (small per-pair scatters),
         # then batched denominators over the per-genome ref seed tables
@@ -927,7 +977,7 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
         fa_all, cov_all = frag_ani_q, covered_q
 
     def tail(qi_idx, g_idx, fa_row, cov_row, keep_e,
-             qmn_e, qmx_e, rmn_e, rmx_e, meta_e, rcid_row):
+             qmn_e, qmx_e, rmn_e, rmx_e, qcid_row, rcid_row):
         q_st = q_starts[qi_idx]
         q_clens = queries.contig_lengths[qi_idx]
         r_st = r_starts_all[g_idx]
@@ -935,10 +985,9 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
 
         est = _pooled_estimators(fa_row, cov_row, cfg)
 
-        qcid_e = jnp.clip(meta_e >> 17, 0, C - 1)
-        q_lo = q_st[qcid_e] + jnp.maximum(qmn_e - ext_l, 0)
-        q_hi = q_st[qcid_e] + jnp.minimum(
-            qmx_e + ext_r, q_clens[qcid_e] - 1)
+        q_lo = q_st[qcid_row] + jnp.maximum(qmn_e - ext_l, 0)
+        q_hi = q_st[qcid_row] + jnp.minimum(
+            qmx_e + ext_r, q_clens[qcid_row] - 1)
         r_lo = r_st[rcid_row] + jnp.maximum(rmn_e - ext_l, 0)
         r_hi = r_st[rcid_row] + jnp.minimum(
             rmx_e + ext_r, r_clens[rcid_row] - 1)
@@ -951,7 +1000,7 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch, merged: dict,
 
     out = jax.vmap(tail)(
         tail_q, tail_r, fa_all, cov_all,
-        end_valid, end_qmn, end_qmx, end_rmn, end_rmx, end_meta, rcid_e)
+        end_valid, end_qmn, end_qmx, end_rmn, end_rmx, qcid_e, rcid_e)
     out["n_chains"] = n_chains
     return out
 
@@ -1147,9 +1196,12 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     frag_cid_tab = jnp.clip(
         (jax.vmap(lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
             q_frag_offs) - 1).astype(jnp.int32), 0, C - 1)  # [G_q, NF]
-    qcid_s = frag_cid_tab.reshape(-1)[
+    # qpos via ONE row-indexed table: the row (pair, fragment) determines
+    # the query contig, so its global start is a [G_q, NF] lookup — one
+    # gather per anchor instead of two (contig id, then start)
+    row_qstart = jnp.take_along_axis(q_starts, frag_cid_tab, axis=1)
+    qpos_s = gq_s - row_qstart.reshape(-1)[
         qi_s * NF + jnp.clip(frag_s, 0, NF - 1)]
-    qpos_s = gq_s - q_starts.reshape(-1)[qi_s * (C + 1) + qcid_s]
 
     A = rowid_s.shape[0]
     ii = jnp.arange(A, dtype=jnp.int32)
@@ -1157,33 +1209,31 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
                                  rowid_s[1:] != rowid_s[:-1]])
     rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
     ok = valid_s & (rowid_s < P * NF) & (rank < PF)
-    # one packed scatter builds all three grids: payload [A, 3] lands at
-    # flat slot row*(PF+1)+col; rejected anchors go to the dump slot at
-    # the end of the padded plane (sliced off by the reshape)
-    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
-        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
-    meta = jnp.where(ok, meta, 0)
+    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok)
+    pos_overflow = jnp.any(valid_s & ((rpos_s >= (1 << 24)) |
+                                      (rcid_s >= 256)))
     flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
-    # grid planes are ZERO-initialised (a zero literal is free; a non-zero
-    # fill would be materialised as a huge compile-time constant): empty
-    # slots read qpos=rpos=0 with meta=0, and every consumer masks on the
-    # meta valid bit
-    payload = jnp.stack([
-        jnp.where(ok, qpos_s, 0),
-        jnp.where(ok, rpos_s, 0),
-        meta], axis=1)
-    g = jnp.zeros(((P * NF + 1) * (PF + 1), 3), jnp.int32).at[flat].set(
+    # TWO uint32 grid planes (vs three int32): qpos/rev/valid in w1,
+    # rpos/rcid in w2 — 1/3 less scatter traffic, and every downstream
+    # sort/scan carries two payload words instead of three.  Planes are
+    # ZERO-initialised (a zero literal is free; a non-zero fill would be
+    # materialised as a huge compile-time constant): empty slots read
+    # w1=0 (valid bit clear) and every consumer masks on it.
+    payload = jnp.stack([w1, w2], axis=1)
+    g = jnp.zeros(((P * NF + 1) * (PF + 1), 2), jnp.uint32).at[flat].set(
         payload)
-    g = g.reshape(P * NF + 1, PF + 1, 3)[:P * NF, :PF]
-    merged = {"qpos": g[:, :, 0], "rpos": g[:, :, 1], "meta": g[:, :, 2]}
+    g = g.reshape(P * NF + 1, PF + 1, 2)[:P * NF, :PF]
+    w1g, w2g = g[:, :, 0], g[:, :, 1]
 
-    scores, roots = _dp_dispatch(merged, cfg, budgets)
+    scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g), cfg,
+                                 budgets)
     pair_ids = jnp.arange(P, dtype=jnp.int32)
     _, r_frag_offs = jax.vmap(lambda r: _contig_layout(r, fl))(refs)
-    out = _post_dp_block(refs, queries, merged, scores, roots, q_starts,
+    out = _post_dp_block(refs, queries, w1g, w2g, scores, roots, q_starts,
                          q_frag_offs, cfg, budgets,
                          pair_ids // G_q, pair_ids % G_q,
                          r_frag_offs=r_frag_offs)
+    out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
     # per-pair anchor counts: rowid_s ascends (primary sort key, invalid
     # anchors sentinel-last), so counts are boundary differences — no
     # scatter over the anchor stream.  The shared-pool overflow flag is
@@ -1345,11 +1395,13 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     valid = a["valid"]
     rowid = a["rowid"]
 
-    # sort by (rowid, rcid, rpos); qpos rides in payload 1, qcid in
-    # payload 2.  (rowid, rcid, rpos, qpos) is unique per anchor, so the
-    # 3-key order is total and deterministic.  Key 1 sorts as uint32 with
-    # an all-ones sentinel: valid keys reach 2^31-1 (rowid < 2^17), which
-    # exceeds any positive int32 sentinel once rowid >= 2^16.
+    # sort by (rowid, rcid, rpos); qpos+rev+valid ride in ONE payload
+    # word (the query contig id is a function of the row, so it no
+    # longer rides the sort at all).  (rowid, rcid, rpos, qpos) is
+    # unique per anchor, so the 3-key order is total and deterministic.
+    # Key 1 sorts as uint32 with an all-ones sentinel: valid keys reach
+    # 2^31-1 (rowid < 2^17), which exceeds any positive int32 sentinel
+    # once rowid >= 2^16.
     k1 = jnp.where(valid, ((rowid << 14) | a["rcid"]).astype(jnp.uint32),
                    jnp.uint32(0xFFFFFFFF))
     k2 = jnp.where(valid, a["rpos"], POS_BIG)
@@ -1358,8 +1410,7 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
         (a["qpos"].astype(jnp.uint32) << 2)
         | (a["rev"].astype(jnp.uint32) << 1) | jnp.uint32(1),
         jnp.uint32(0xFFFFFFFC))
-    pay2 = jnp.where(valid, a["qcid"], 0)
-    k1, k2, pay1, pay2 = jax.lax.sort((k1, k2, pay1, pay2), num_keys=3)
+    k1, k2, pay1 = jax.lax.sort((k1, k2, pay1), num_keys=3)
 
     valid_s = (pay1 & 1) == 1
     rev_s = (pay1 & 2) == 2
@@ -1367,7 +1418,6 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     rowid_s = jnp.where(valid_s, (k1 >> 14).astype(jnp.int32), I32_SENTINEL)
     rcid_s = (k1 & 0x3FFF).astype(jnp.int32)
     rpos_s = k2
-    qcid_s = pay2
 
     A = rowid_s.shape[0]
     ii = jnp.arange(A, dtype=jnp.int32)
@@ -1375,27 +1425,26 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
                                  rowid_s[1:] != rowid_s[:-1]])
     rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
     ok = valid_s & (rowid_s < P * NF) & (rank < PF)
-    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
-        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
-    meta = jnp.where(ok, meta, 0)
+    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok)
+    pos_overflow = jnp.any(valid_s & ((rpos_s >= (1 << 24)) |
+                                      (rcid_s >= 256)))
     flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
-    # zero-initialised planes; consumers mask on the meta valid bit (a
+    # zero-initialised planes; consumers mask on the w1 valid bit (a
     # non-zero fill becomes a huge compile-time literal — see chain_block)
-    payload = jnp.stack([
-        jnp.where(ok, qpos_s, 0),
-        jnp.where(ok, rpos_s, 0),
-        meta], axis=1)
-    g = jnp.zeros(((P * NF + 1) * (PF + 1), 3), jnp.int32).at[flat].set(
+    payload = jnp.stack([w1, w2], axis=1)
+    g = jnp.zeros(((P * NF + 1) * (PF + 1), 2), jnp.uint32).at[flat].set(
         payload)
-    g = g.reshape(P * NF + 1, PF + 1, 3)[:P * NF, :PF]
-    merged = {"qpos": g[:, :, 0], "rpos": g[:, :, 1], "meta": g[:, :, 2]}
+    g = g.reshape(P * NF + 1, PF + 1, 2)[:P * NF, :PF]
+    w1g, w2g = g[:, :, 0], g[:, :, 1]
 
-    scores, roots = _dp_dispatch(merged, cfg, budgets)
+    scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g), cfg,
+                                 budgets)
     tri_r, tri_q = triu_pairs(G)
-    out = _post_dp_block(genomes, genomes, merged, scores, roots, q_starts,
-                         q_frag_offs, cfg, budgets,
+    out = _post_dp_block(genomes, genomes, w1g, w2g, scores, roots,
+                         q_starts, q_frag_offs, cfg, budgets,
                          jnp.asarray(tri_r), jnp.asarray(tri_q),
                          r_frag_offs=q_frag_offs)
+    out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
     # per-pair anchor counts from the rowid-sorted stream (rowid_s
     # ascends, invalid anchors sentinel-last) — no scatter
     bounds = jnp.searchsorted(

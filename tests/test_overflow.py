@@ -65,3 +65,14 @@ def test_chain_table_overflow_reported(pairbatch):
     assert int(np.asarray(out["n_chains"]).max()) > 1
     with pytest.warns(RuntimeWarning, match="chain table overflow"):
         check_overflow(out, budgets)
+
+
+def test_pos_overflow_raises():
+    """pos_overflow (contig > 2^24 bp in the packed block grid) is a
+    hard error, not a warning — results for such pairs are wrong."""
+    from pyskani_tpu.ops.chain import EngineBudgets
+
+    out = {"pos_overflow": np.array([True]),
+           "n_chains": np.array([1])}
+    with pytest.raises(RuntimeError, match="contig coordinate overflow"):
+        check_overflow(out, EngineBudgets())
