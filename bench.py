@@ -252,7 +252,8 @@ def build_block_runner(batch, cfg, budgets, app):
         # dispatch every tile asynchronously, then fetch ALL results with
         # ONE device_get — per-tile np.asarray would pay one round trip
         # per array through the remote device tunnel
-        want = ("ani_mean", "anchors_overflow", "n_chains") if check \
+        want = ("ani_mean", "anchors_overflow", "n_chains",
+                "pos_overflow") if check \
             else ("ani_mean",)
         touts = [(pr, pq, keep,
                   chain_triangle(take_sketch(batch, g), cfg=cfg,
@@ -270,6 +271,8 @@ def build_block_runner(batch, cfg, budgets, app):
         for (pr, pq, keep, _), o in zip(touts, fetched):
             ani[pr, pq] = o["ani_mean"][keep]
             if check:
+                assert not bool(np.any(o["pos_overflow"])), \
+                    "contig coordinate overflow (packed grid cap)"
                 assert not bool(np.any(o["anchors_overflow"])), \
                     "anchor pool overflow — raise BENCH app budget"
                 assert int(np.max(o["n_chains"])) <= \
@@ -277,6 +280,8 @@ def build_block_runner(batch, cfg, budgets, app):
         for (ridx, qidx, _), o in zip(routs, fetched[len(touts):]):
             ani[np.ix_(ridx, qidx)] = o["ani_mean"][:len(ridx), :len(qidx)]
             if check:
+                assert not bool(np.any(o["pos_overflow"])), \
+                    "contig coordinate overflow (packed grid cap)"
                 assert not bool(np.any(o["anchors_overflow"])), \
                     "anchor pool overflow — raise BENCH app budget"
                 assert int(np.max(o["n_chains"])) <= \
@@ -356,7 +361,8 @@ def build_triangle_runner(batch, cfg, budgets, app, nf):
     import jax
 
     def run(check=False):
-        want = ("ani_mean", "anchors_overflow") if check else ("ani_mean",)
+        want = ("ani_mean", "anchors_overflow", "pos_overflow") if check \
+            else ("ani_mean",)
         outs = [(pr, pq, keep,
                  chain_triangle(take_sketch(batch, g), cfg=cfg,
                                 budgets=budgets, total_anchors=tri_total))
@@ -374,10 +380,12 @@ def build_triangle_runner(batch, cfg, budgets, app, nf):
         for (pr, pq, keep, _), o in zip(outs, fetched):
             ani[pr, pq] = o["ani_mean"][keep]
             if check:
+                assert not bool(np.any(o["pos_overflow"]))
                 assert not bool(np.any(o["anchors_overflow"]))
         for (ridx, qidx, _), o in zip(rect_outs, fetched[len(outs):]):
             ani[np.ix_(ridx, qidx)] = o["ani_mean"][:len(ridx), :len(qidx)]
             if check:
+                assert not bool(np.any(o["pos_overflow"]))
                 assert not bool(np.any(o["anchors_overflow"]))
         return {"ani_mean": ani}
 

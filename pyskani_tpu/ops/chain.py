@@ -458,23 +458,8 @@ def _ref_grid_estimates(ref: DeviceSketch, keep_f: jax.Array,
     fl = cfg.fragment_length
     Cr = ref.contig_lengths.shape[0]
     r_starts, r_frag_offs = _contig_layout(ref, fl)
-    rcid_safe = jnp.clip(rcid_f, 0, Cr - 1)
-    lo = jnp.maximum(rmn_f - cfg.extend_left, 0)
-    hi = jnp.minimum(rmx_f + cfg.extend_right,
-                     ref.contig_lengths[rcid_safe] - 1)
-    f0_local = lo // fl
-    span_lo = jnp.full(NF + 1, POS_BIG)
-    span_hi = jnp.full(NF + 1, NEG_BIG)
-    for j in range(_REF_SPAN_PIECES):
-        base = (f0_local + j) * fl
-        plo = jnp.maximum(lo, base)
-        phi = jnp.minimum(hi, base + fl - 1)
-        fj = r_frag_offs[rcid_safe] + f0_local + j
-        okp = keep_f & (plo <= phi) & (fj < NF)
-        slot = jnp.where(okp, fj, NF)
-        span_lo = span_lo.at[slot].min(jnp.where(okp, plo, POS_BIG))
-        span_hi = span_hi.at[slot].max(jnp.where(okp, phi, NEG_BIG))
-    span_lo, span_hi = span_lo[:NF], span_hi[:NF]
+    span_lo, span_hi = _ref_spans(ref.contig_lengths, r_frag_offs,
+                                  keep_f, rmn_f, rmx_f, rcid_f, cfg, NF)
 
     p_gpos, prefix = _denom_prefix(ref, r_starts, cfg)
     frag_ids = jnp.arange(NF, dtype=jnp.int32)
@@ -735,8 +720,7 @@ def _seg_scan_stats(first: jax.Array, fields: dict, axis: int = 0) -> dict:
     instead of log2(R*PF))."""
     ops = {"cnt": lambda a, b: a + b, "qmn": jnp.minimum,
            "qmx": jnp.maximum, "rmn": jnp.minimum, "rmx": jnp.maximum,
-           "smx": jnp.maximum, "sum": lambda a, b: a + b,
-           "lo": jnp.minimum, "hi": jnp.maximum}
+           "smx": jnp.maximum}
 
     def comb(a, b):
         f = b["flag"]
@@ -757,7 +741,8 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
                    q_frag_offs: jax.Array, cfg: ChainConfig,
                    budgets: EngineBudgets, tail_r: jax.Array,
                    tail_q: jax.Array,
-                   r_frag_offs: jax.Array | None = None) -> dict:
+                   r_frag_offs: jax.Array | None = None,
+                   frag_cid_g: jax.Array | None = None) -> dict:
     """Per-chain statistics + estimators for a block of P pairs.
 
     ``tail_r``/``tail_q`` [P] map each pair slot to its genome index in
@@ -917,9 +902,10 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
             lambda r, st: _denom_prefix(r, st, cfg))(refs, r_starts_all)
 
     # query fragment windows, per query genome then indexed per pair
-    frag_cid_g = jnp.clip(jax.vmap(
-        lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
-        q_frag_offs).astype(jnp.int32) - 1, 0, C - 1)        # [G_q, NF]
+    if frag_cid_g is None:
+        frag_cid_g = jnp.clip(jax.vmap(
+            lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
+            q_frag_offs).astype(jnp.int32) - 1, 0, C - 1)    # [G_q, NF]
     frag_base_g = (frag_ids[None, :] - jnp.take_along_axis(
         q_frag_offs, frag_cid_g, axis=1)) * fl
     frag_clen_g = jnp.take_along_axis(queries.contig_lengths,
@@ -1232,7 +1218,8 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     out = _post_dp_block(refs, queries, w1g, w2g, scores, roots, q_starts,
                          q_frag_offs, cfg, budgets,
                          pair_ids // G_q, pair_ids % G_q,
-                         r_frag_offs=r_frag_offs)
+                         r_frag_offs=r_frag_offs,
+                         frag_cid_g=frag_cid_tab)
     out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
     # per-pair anchor counts: rowid_s ascends (primary sort key, invalid
     # anchors sentinel-last), so counts are boundary differences — no
