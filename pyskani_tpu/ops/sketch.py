@@ -53,10 +53,13 @@ I32_SENTINEL = np.int32(0x7FFFFFFF)
 )
 @dataclasses.dataclass
 class DeviceSketch:
-    """Padded dense-array sketch of one genome (device resident).
+    """Padded dense-array sketch of one genome (registered pytree).
 
     Functional equivalent of ``skani::types::Sketch`` (fields observed at
     reference lib.rs:147-161) re-laid-out for static-shape TPU compute.
+    Leaves may be device arrays (inside jitted pipelines, stacked
+    batches) or numpy (host-resident sketches fresh off the kernel) —
+    jit uploads numpy leaves at dispatch.
     """
 
     # seed table, sorted by (kmer, contig, position); padding = sentinels
@@ -518,10 +521,13 @@ def sketch_genomes_device(
 
 @dataclasses.dataclass
 class HostSketch:
-    """A named genome sketch: host metadata + device arrays.
+    """A named genome sketch: host metadata + host-resident arrays.
 
     Counterpart of the reference's ``Sketch`` pyclass
-    (/root/reference/src/pyskani/_skani/sketch.rs:4-38).
+    (/root/reference/src/pyskani/_skani/sketch.rs:4-38).  The ``device``
+    pytree holds numpy arrays (fetched in one batched transfer right
+    after the sketch kernel); they are shipped back to the device in one
+    ``device_put`` when stacked into a batch (engine/batch.py).
     """
 
     name: str
