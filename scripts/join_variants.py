@@ -5,6 +5,10 @@ The two seed tables arrive SORTED by kmer, so the join can be:
   B) two searchsorted calls (binary search, log2(Sr) gathers)
 plus the shared prefix-inversion (scatter+cummax) and payload gathers.
 """
+# NOTE (r3): written against the r2 grid format (separate qpos/rpos/meta
+# planes). The engine now packs two uint32 planes (ops/chain.py w1/w2);
+# internal cut points here no longer match the current code.
+
 
 import os
 import sys

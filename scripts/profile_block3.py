@@ -3,6 +3,10 @@
 Cut points: pre-DP grids, +DP, +chain sort & scan1, +scan2 row
 aggregates, +compaction scatter, full.  Deltas between rows = stage cost.
 """
+# NOTE (r3): written against the r2 grid format (separate qpos/rpos/meta
+# planes). The engine now packs two uint32 planes (ops/chain.py w1/w2);
+# internal cut points here no longer match the current code.
+
 
 import os
 import sys

@@ -3,6 +3,10 @@
 Each stage function is jitted separately and timed cumulatively, so the
 difference between consecutive rows is the cost of the added stage.
 """
+# NOTE (r3): written against the r2 grid format (separate qpos/rpos/meta
+# planes). The engine now packs two uint32 planes (ops/chain.py w1/w2);
+# internal cut points here no longer match the current code.
+
 
 import os
 import sys
