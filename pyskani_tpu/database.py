@@ -259,14 +259,20 @@ class Database:
             self._screen_cache = (hi, lo, counts)
         return self._screen_cache
 
-    def _budgets_for(self, query: HostSketch, ref=None) -> EngineBudgets:
+    def _budgets_for(self, query: HostSketch,
+                     shortlist=None) -> EngineBudgets:
         fl = self._chain_cfg.fragment_length
         # the fragment budget must cover BOTH estimation grids
         # (est_side="both" bins anchors on the ref grid too): size it to
-        # the larger of the query and the longest stored reference
+        # the larger of the query and the longest SHORTLISTED reference.
+        # Fragments are per-contig (every contig contributes >= 1), so
+        # fragmented drafts need far more than total_len/fl.
         nf_q = query.n_fragments(fl)
-        nf_r = max((-(-m.total_len // fl) for m in self._markers),
-                   default=1)
+        markers = self._markers if shortlist is None else \
+            [m for m in self._markers
+             if os.path.basename(m.name) in shortlist]
+        nf_r = max((sum(max(1, -(-L // fl)) for L in m.contig_lengths)
+                    for m in markers), default=1)
         nf = round_up(max(nf_q, nf_r) + 2, 128)
         qa = query.device.seed_budget
         return EngineBudgets(
@@ -358,47 +364,109 @@ class Database:
         # in double-buffered chunks, so memory stays bounded and the
         # lazy `open()` contract holds (the reference instead loads each
         # sketch serially inside the pair loop, lib.rs:639-657).
+        # References whose contigs exceed the packed block-grid range are
+        # automatically rerouted through the full-range per-pair path
+        # (reference contract: GnPosition is full-width, lib.rs:160).
         maf = cmd.min_aligned_frac
-        from .engine.batch import one_vs_many, repad_sketch
+        from .engine.batch import (check_overflow, one_vs_many,
+                                   one_vs_many_pairs, repad_sketch,
+                                   stack_sketches)
+        from .ops.chain import rcid_bits_for
+        from .ops.sketch import contig_budget_for
 
-        budgets = self._budgets_for(query, None)
+        budgets = self._budgets_for(query, set(shortlist))
         cfg = self._chain_cfg
         if est_ci:
             import dataclasses
             cfg = dataclasses.replace(cfg, est_ci=True)
+
+        if query.total_len >= (1 << 30):
+            raise ValueError(
+                f"query genome {name!r} is {query.total_len} bp; genomes "
+                f">= 2^30 bp total exceed the engine's coordinate range")
+
+        by_name = {os.path.basename(m.name): m for m in self._markers}
+        out: dict = {}
+        order = {rn: i for i, rn in enumerate(shortlist)}
+
+        def merge(partial, names_part):
+            for k, v in partial.items():
+                arr = np.asarray(v)
+                if k not in out:
+                    out[k] = np.zeros((len(shortlist),) + arr.shape[1:],
+                                      arr.dtype)
+                for j, rn in enumerate(names_part):
+                    out[k][order[rn]] = arr[j]
+
         if isinstance(self._storage, MemoryStorage):
             names_all, stack, bucket, mbucket = self._ref_stack()
-            idx = np.array([names_all.index(rn) for rn in shortlist],
-                           np.int32)
+            cap = 1 << (32 - rcid_bits_for(stack.contig_lengths.shape[1]))
+            block_names = [rn for rn in shortlist
+                           if max(by_name[rn].contig_lengths,
+                                  default=0) < cap]
+            fb_names = [rn for rn in shortlist
+                        if max(by_name[rn].contig_lengths,
+                               default=0) >= cap]
             qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
                                 max(mbucket, query.device.marker_budget))
             with profiling.scope("chain"):
-                out = one_vs_many(stack, qpad, idx, cfg=cfg,
-                                  budgets=budgets,
-                                  chunk=_pow2_chunk(len(idx)))
+                if block_names:
+                    idx = np.array([names_all.index(rn)
+                                    for rn in block_names], np.int32)
+                    part = one_vs_many(stack, qpad, idx, cfg=cfg,
+                                       budgets=budgets,
+                                       chunk=_pow2_chunk(len(idx)))
+                    check_overflow(part, budgets)
+                    merge(part, block_names)
+                if fb_names:
+                    idx = np.array([names_all.index(rn)
+                                    for rn in fb_names], np.int32)
+                    part = one_vs_many_pairs(
+                        stack, qpad, idx, cfg=cfg, budgets=budgets,
+                        chunk=_pow2_chunk(len(idx), cap=4))
+                    check_overflow(part, budgets)
+                    merge(part, fb_names)
         else:
             from .engine.stream import stream_one_vs_many
             from .ops.sketch import marker_budget_for, seed_budget_for
 
-            by_name = {os.path.basename(m.name): m for m in self._markers}
-            tl = max(by_name[rn].total_len for rn in shortlist) \
-                if shortlist else 0
+            tl = max((by_name[rn].total_len for rn in shortlist), default=0)
             bucket = max(seed_budget_for(tl, self._params.c),
                          query.device.seed_budget)
             mbucket = max(marker_budget_for(tl, self._params.marker_c),
                           query.device.marker_budget)
+            cb = max((contig_budget_for(len(by_name[rn].contig_lengths))
+                      for rn in shortlist), default=8)
+            cap = 1 << (32 - rcid_bits_for(cb))
+            block_names = [rn for rn in shortlist
+                           if max(by_name[rn].contig_lengths,
+                                  default=0) < cap]
+            fb_names = [rn for rn in shortlist
+                        if max(by_name[rn].contig_lengths,
+                               default=0) >= cap]
             qpad = repad_sketch(query, bucket, mbucket)
             with profiling.scope("chain"):
-                out = stream_one_vs_many(
-                    self._storage.load, list(shortlist), qpad, cfg=cfg,
-                    budgets=budgets, seed_budget=bucket,
-                    marker_budget=mbucket,
-                    chunk=_pow2_chunk(len(shortlist)))
+                if block_names:
+                    part = stream_one_vs_many(
+                        self._storage.load, list(block_names), qpad,
+                        cfg=cfg, budgets=budgets, seed_budget=bucket,
+                        marker_budget=mbucket, contig_budget=cb,
+                        chunk=_pow2_chunk(len(block_names)))
+                    check_overflow(part, budgets)
+                    merge(part, block_names)
+                if fb_names:
+                    fb_stack = stack_sketches(
+                        [self._storage.load(rn) for rn in fb_names],
+                        bucket, mbucket)
+                    part = one_vs_many_pairs(
+                        fb_stack, qpad,
+                        np.arange(len(fb_names), dtype=np.int32),
+                        cfg=cfg, budgets=budgets,
+                        chunk=_pow2_chunk(len(fb_names), cap=4))
+                    check_overflow(part, budgets)
+                    merge(part, fb_names)
         if profiling.enabled():
             profiling.stats().add("pairs_chained", len(shortlist))
-        if shortlist:
-            from .engine.batch import check_overflow
-            check_overflow(out, budgets)
         key = "ani_median" if median else \
             "ani_robust" if robust else "ani_mean"
         for i, ref_name in enumerate(shortlist):

@@ -71,8 +71,8 @@ def sketch_from_bytes(data: bytes):
     import jax.numpy as jnp
 
     from ..ops.sketch import (DeviceSketch, HostSketch, U32_SENTINEL,
-                              I32_SENTINEL, marker_budget_for,
-                              seed_budget_for)
+                              I32_SENTINEL, contig_budget_for,
+                              marker_budget_for, seed_budget_for)
 
     with np.load(io.BytesIO(data)) as z:
         meta = json.loads(bytes(z["meta"]).decode())
@@ -104,7 +104,7 @@ def sketch_from_bytes(data: bytes):
     own_mult = (right - left).astype(np.int32)
     order = np.lexsort((positions, contig_ids))
 
-    C = 256
+    C = contig_budget_for(len(contig_lengths))
     dev = DeviceSketch(
         kmers=jnp.asarray(pad(kmers, sb, 0xFFFFFFFF)),
         positions=jnp.asarray(pad(positions, sb, np.int32(0x7FFFFFFF))),
@@ -121,7 +121,7 @@ def sketch_from_bytes(data: bytes):
         n_seeds=jnp.int32(n), n_markers=jnp.int32(m),
         contig_lengths=jnp.asarray(pad(contig_lengths.astype(np.int32), C, 0)),
         n_contigs=jnp.int32(len(contig_lengths)),
-        total_len=jnp.int32(total),
+        total_len=jnp.uint32(total),
     )
     return HostSketch(name=meta["name"], contig_names=meta["contig_names"],
                       device=dev,

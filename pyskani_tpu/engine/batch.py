@@ -21,21 +21,29 @@ import numpy as np
 from ..oracle.chain import ChainConfig
 from ..ops.chain import (EngineBudgets, chain_block, chain_pair, chain_pairs,
                          chain_triangle)
-from ..ops.sketch import DeviceSketch, HostSketch, round_up
+from ..ops.sketch import (DeviceSketch, HostSketch, contig_budget_for,
+                          round_up)
 
 
 def _repad_host(dev, name: str, seed_budget: int, marker_budget: int,
-                max_contigs: int = 256) -> DeviceSketch:
+                max_contigs: int | None = None) -> DeviceSketch:
     """Pad a host-fetched sketch pytree to common budgets (pure numpy).
 
     ``dev`` must already live on the host (``jax.device_get`` of a
     ``DeviceSketch`` or a disk-loaded one) — no per-field transfers.
+    ``max_contigs=None`` keeps the sketch's own contig-table size.
     """
     n = int(dev.n_seeds)
     m = int(dev.n_markers)
+    nc = int(dev.n_contigs)
+    if max_contigs is None:
+        max_contigs = dev.contig_lengths.shape[0]
     if n > seed_budget or m > marker_budget:
         raise ValueError(f"sketch {name} exceeds budgets "
                          f"({n}>{seed_budget} or {m}>{marker_budget})")
+    if nc > max_contigs:
+        raise ValueError(f"sketch {name} has {nc} contigs, more than the "
+                         f"max_contigs={max_contigs} budget")
 
     def pad(arr, size, fill):
         a = np.asarray(arr)
@@ -63,7 +71,7 @@ def _repad_host(dev, name: str, seed_budget: int, marker_budget: int,
 
 
 def repad_sketch(host: HostSketch, seed_budget: int, marker_budget: int,
-                 max_contigs: int = 256) -> DeviceSketch:
+                 max_contigs: int | None = None) -> DeviceSketch:
     """Re-pad a sketch's arrays to common budgets.
 
     Fetches the sketch to the host in ONE batched transfer, pads in
@@ -78,7 +86,8 @@ def repad_sketch(host: HostSketch, seed_budget: int, marker_budget: int,
 
 def stack_sketches_host(sketches: Sequence[HostSketch],
                         seed_budget: int | None = None,
-                        marker_budget: int | None = None) -> DeviceSketch:
+                        marker_budget: int | None = None,
+                        contig_budget: int | None = None) -> DeviceSketch:
     """Stack sketches into one batched numpy pytree (leading axis N).
 
     All device arrays are fetched with a single ``jax.device_get`` of the
@@ -92,17 +101,23 @@ def stack_sketches_host(sketches: Sequence[HostSketch],
     if marker_budget is None:
         marker_budget = round_up(
             max(int(d.n_markers) for d in fetched), 512)
-    padded = [_repad_host(d, s.name, seed_budget, marker_budget)
+    # common contig-table bucket: sized from the largest member (sketches
+    # arrive with per-genome power-of-two buckets, see contig_budget_for)
+    cb = contig_budget if contig_budget is not None else \
+        max(contig_budget_for(int(d.n_contigs)) for d in fetched)
+    padded = [_repad_host(d, s.name, seed_budget, marker_budget, cb)
               for d, s in zip(fetched, sketches)]
     return jax.tree.map(lambda *xs: np.stack(xs), *padded)
 
 
 def stack_sketches(sketches: Sequence[HostSketch],
                    seed_budget: int | None = None,
-                   marker_budget: int | None = None) -> DeviceSketch:
+                   marker_budget: int | None = None,
+                   contig_budget: int | None = None) -> DeviceSketch:
     """Stack sketches into one batched DeviceSketch (leading axis N)."""
     return jax.device_put(
-        stack_sketches_host(sketches, seed_budget, marker_budget))
+        stack_sketches_host(sketches, seed_budget, marker_budget,
+                            contig_budget))
 
 
 def take_sketch(batch: DeviceSketch, idx) -> DeviceSketch:
@@ -152,6 +167,33 @@ def one_vs_many(refs: DeviceSketch, query: DeviceSketch, ref_idx: jax.Array,
         r = take_sketch(refs, idx_chunk)
         out = chain_block(r, q1, cfg=cfg, budgets=budgets)
         return jax.tree.map(lambda x: x[:, 0], out)
+
+    P = ref_idx.shape[0]
+    pad = (-P) % chunk
+    idx = jnp.concatenate([ref_idx, jnp.zeros(pad, ref_idx.dtype)]) \
+        if pad else ref_idx
+    out = jax.lax.map(one_chunk, idx.reshape(-1, chunk))
+    return jax.tree.map(lambda x: x.reshape(-1)[:P], out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "budgets", "chunk"))
+def one_vs_many_pairs(refs: DeviceSketch, query: DeviceSketch,
+                      ref_idx: jax.Array, *, cfg: ChainConfig,
+                      budgets: EngineBudgets, chunk: int = 4):
+    """Full-range variant of :func:`one_vs_many` built on ``chain_pairs``.
+
+    The per-pair pipeline stores positions in full-width int32 planes, so
+    it has none of the packed block-grid coordinate caps (ref contigs up
+    to 2^31 bp; query genomes up to 2^30 bp total).  ``Database.query``
+    routes references whose contigs exceed the packed range here instead
+    of erroring (reference contract: GnPosition is full-width,
+    lib.rs:160).  Returns dict of [len(ref_idx)] arrays.
+    """
+    def one_chunk(idx_chunk):
+        r = take_sketch(refs, idx_chunk)
+        q = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (chunk,) + x.shape), query)
+        return chain_pairs(r, q, cfg=cfg, budgets=budgets)
 
     P = ref_idx.shape[0]
     pad = (-P) % chunk
@@ -276,16 +318,23 @@ def check_overflow(out: dict, budgets: EngineBudgets,
     """
     import warnings
 
+    # collect EVERY diagnostic before acting so that a raising condition
+    # does not hide the budget problems a caller would want to retune
     problems = []
-    if "pos_overflow" in out and bool(np.any(np.asarray(
-            out["pos_overflow"]))):
-        # not a budget issue: the packed block/triangle grid caps contig
-        # coordinates at 2^24 bp — results for such pairs are WRONG, so
-        # this one always raises (use chain_pairs for giant contigs)
-        raise RuntimeError(
-            "contig coordinate overflow: a contig exceeds 2^24 bp (or "
-            "256 contigs), beyond the packed block-grid range — use the "
-            "per-pair path for such genomes")
+    pos_over = "pos_overflow" in out and bool(np.any(np.asarray(
+        out["pos_overflow"])))
+    if pos_over:
+        # not a budget issue: the packed block/triangle grid caps ref
+        # coordinates at 2^(32-rcid_bits) bp per contig and query genomes
+        # at 2^30 bp total — results for such pairs are WRONG, so this
+        # condition always raises (the full-range per-pair chain_pairs
+        # path handles such genomes; Database.query reroutes them
+        # automatically)
+        problems.append(
+            "contig coordinate overflow: a position exceeds the packed "
+            "block-grid range (ref contigs >= 2^(32-rcid_bits) bp or a "
+            "query genome >= 2^30 bp) — use the per-pair path for such "
+            "genomes")
     if "anchors_overflow" in out and bool(np.any(np.asarray(
             out["anchors_overflow"]))):
         problems.append("anchor budget overflow: the shared anchor pool "
@@ -297,7 +346,7 @@ def check_overflow(out: dict, budgets: EngineBudgets,
             problems.append(
                 f"chain table overflow: a pair kept {mx} chains > "
                 f"max_chains_per_pair={budgets.max_chains_per_pair}")
+    if problems and (pos_over or raise_on_overflow):
+        raise RuntimeError("; ".join(problems))
     for msg in problems:
-        if raise_on_overflow:
-            raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=3)

@@ -31,15 +31,17 @@ from .batch import stack_sketches_host
 
 
 def _host_stack(sketches: Sequence[HostSketch], seed_budget: int,
-                marker_budget: int):
+                marker_budget: int, contig_budget: int | None):
     """Stack sketches on the HOST (numpy) so one device_put moves the
     whole chunk (a single large async transfer beats N small ones)."""
-    return stack_sketches_host(sketches, seed_budget, marker_budget)
+    return stack_sketches_host(sketches, seed_budget, marker_budget,
+                               contig_budget)
 
 
 def stream_one_vs_many(load: Callable[[str], HostSketch], names: List[str],
                        query, *, cfg: ChainConfig, budgets: EngineBudgets,
                        seed_budget: int, marker_budget: int,
+                       contig_budget: int | None = None,
                        chunk: int = 16) -> Dict[str, np.ndarray]:
     """Chain ``query`` against references loaded lazily by name.
 
@@ -59,7 +61,8 @@ def stream_one_vs_many(load: Callable[[str], HostSketch], names: List[str],
         # ragged last chunk: repeat the first name to fill the bucket
         while len(hosts) < chunk:
             hosts.append(hosts[0])
-        stack = _host_stack(hosts, seed_budget, marker_budget)
+        stack = _host_stack(hosts, seed_budget, marker_budget,
+                            contig_budget)
         return jax.tree.map(jnp.asarray, stack)  # async H2D
 
     groups = [names[i:i + chunk] for i in range(0, len(names), chunk)]

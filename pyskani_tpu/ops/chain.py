@@ -677,27 +677,43 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     return out
 
 
-def _pack_grid_words(qpos, rpos, rcid, rev, ok):
+def rcid_bits_for(C: int) -> int:
+    """Bits of the packed block-grid word w2 allotted to the ref contig id.
+
+    Sized from the static contig-table budget ``C`` (a power of two, see
+    ops.sketch.contig_budget_for): the remaining ``32 - bits`` go to the
+    in-contig position, so single-contig isolates (C=8 -> 3 bits) support
+    contigs up to 2^29 bp while 16384-contig MAGs (14 bits) still allow
+    256 kbp contigs.  The reference has neither cap (lib.rs:160 GnPosition
+    is full-width); genomes outside the packed range are routed through
+    the full-range per-pair path by Database.query.
+    """
+    return max(1, (C - 1).bit_length())
+
+
+def _pack_grid_words(qpos, rpos, rcid, rev, ok, rcid_bits: int):
     """Pack an anchor into two uint32 grid words:
 
-      w1 = qpos << 2 | rev << 1 | valid        (qpos < 2^30)
-      w2 = rpos << 8 | rcid                    (rpos < 2^24, rcid < 256)
+      w1 = qpos << 2 | rev << 1 | valid          (qpos < 2^30)
+      w2 = rpos << rcid_bits | rcid              (rpos < 2^(32-rcid_bits))
 
     Within a chain, rev and rcid are constant (the DP's same-chain
     predicate requires them equal), so segment min/max of w1/w2 recover
-    exact qpos/rpos extrema by shifting.  Contigs >= 2^24 bp overflow w2
-    — reported loudly via the pos_overflow output (the per-pair
-    chain_pairs path has no such cap).
+    exact qpos/rpos extrema by shifting.  Contigs >= 2^(32-rcid_bits) bp
+    overflow w2 — reported loudly via the pos_overflow output (the
+    per-pair chain_pairs path has no such cap).
     """
+    rmask = jnp.uint32((1 << rcid_bits) - 1)
     w1 = jnp.where(ok, (qpos.astype(jnp.uint32) << 2) |
                    (rev.astype(jnp.uint32) << 1) | jnp.uint32(1),
                    jnp.uint32(0))
-    w2 = jnp.where(ok, (rpos.astype(jnp.uint32) << 8) |
-                   (rcid.astype(jnp.uint32) & 0xFF), jnp.uint32(0))
+    w2 = jnp.where(ok, (rpos.astype(jnp.uint32) << rcid_bits) |
+                   (rcid.astype(jnp.uint32) & rmask), jnp.uint32(0))
     return w1, w2
 
 
-def _dp_grid_from_words(w1g: jax.Array, w2g: jax.Array) -> dict:
+def _dp_grid_from_words(w1g: jax.Array, w2g: jax.Array,
+                        rcid_bits: int) -> dict:
     """Elementwise-derived DP input planes from the packed grid words.
 
     The synthetic meta keeps the kernel contract (same-chain predicate =
@@ -705,9 +721,10 @@ def _dp_grid_from_words(w1g: jax.Array, w2g: jax.Array) -> dict:
     The query contig id is constant within a grid row, so its omission
     cannot split or merge chains.
     """
+    rmask = jnp.uint32((1 << rcid_bits) - 1)
     return {"qpos": (w1g >> 2).astype(jnp.int32),
-            "rpos": (w2g >> 8).astype(jnp.int32),
-            "meta": (((w2g & 0xFF) << 3) | (w1g & 3)).astype(jnp.int32)}
+            "rpos": (w2g >> rcid_bits).astype(jnp.int32),
+            "meta": (((w2g & rmask) << 3) | (w1g & 3)).astype(jnp.int32)}
 
 
 def _seg_scan_stats(first: jax.Array, fields: dict, axis: int = 0) -> dict:
@@ -742,7 +759,8 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
                    budgets: EngineBudgets, tail_r: jax.Array,
                    tail_q: jax.Array,
                    r_frag_offs: jax.Array | None = None,
-                   frag_cid_g: jax.Array | None = None) -> dict:
+                   frag_cid_g: jax.Array | None = None,
+                   rcid_bits: int = 8) -> dict:
     """Per-chain statistics + estimators for a block of P pairs.
 
     ``tail_r``/``tail_q`` [P] map each pair slot to its genome index in
@@ -772,6 +790,7 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
     P = tail_r.shape[0]
     R = P * NF
     ext_l, ext_r = cfg.extend_left, cfg.extend_right
+    rmask = (1 << rcid_bits) - 1
 
     valid2 = (w1g & 1) == 1
     root2 = jnp.clip(roots, 0, PF - 1)
@@ -847,12 +866,13 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
         jnp.where(end_valid, (w >> 2).astype(jnp.int32), I32_SENTINEL)
         for w in (qmn_w, qmx_w))
     end_rmn, end_rmx = (
-        jnp.where(end_valid, (w >> 8).astype(jnp.int32), I32_SENTINEL)
+        jnp.where(end_valid, (w >> rcid_bits).astype(jnp.int32),
+                  I32_SENTINEL)
         for w in (rmn_w, rmx_w))
-    # rcid rides the low byte of w2 (constant within a chain); the query
+    # rcid rides the low bits of w2 (constant within a chain); the query
     # contig id is a function of the chain's row (fragment), looked up in
     # the tail
-    end_rcid = jnp.where(end_valid, (rmn_w & 0xFF).astype(jnp.int32), 0)
+    end_rcid = jnp.where(end_valid, (rmn_w & rmask).astype(jnp.int32), 0)
     # kept-chain count per pair (for overflow diagnostics)
     n_chains = jnp.sum(rk, axis=1)                                 # [P]
 
@@ -872,11 +892,11 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
         _, keep_fill = jax.lax.associative_scan(
             _carry, (rev_start, rev_val), axis=1)
         keep_elem = keep_fill[:, ::-1] & ((w1_s & 1) == 1)
-        rcid_el = jnp.clip((w2_s & 0xFF).astype(jnp.int32), 0, Cr - 1)
+        rcid_el = jnp.clip((w2_s & rmask).astype(jnp.int32), 0, Cr - 1)
         g_of = tail_r[pair_of_row]                    # [R] ref genome id
         refrag = r_frag_offs.reshape(-1)[
             g_of[:, None] * r_frag_offs.shape[1] + rcid_el] + \
-            (w2_s >> 8).astype(jnp.int32) // fl
+            (w2_s >> rcid_bits).astype(jnp.int32) // fl
         ok_el = keep_elem & (refrag < NF)
         numer_r = jnp.zeros(P * NF + 1, jnp.int32).at[
             jnp.where(ok_el, pair_of_row[:, None] * NF + refrag,
@@ -1195,9 +1215,15 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
                                  rowid_s[1:] != rowid_s[:-1]])
     rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
     ok = valid_s & (rowid_s < P * NF) & (rank < PF)
-    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok)
-    pos_overflow = jnp.any(valid_s & ((rpos_s >= (1 << 24)) |
-                                      (rcid_s >= 256)))
+    rbits = rcid_bits_for(refs.contig_lengths.shape[1])
+    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok, rbits)
+    # positions past the packed w2 range corrupt results; query-side gq
+    # rides w1 as gq<<2, so genomes >= 2^30 bp total overflow there too.
+    # Both are reported loudly (check_overflow raises) — Database.query
+    # pre-checks contig lengths and reroutes such pairs through the
+    # full-range per-pair path instead.
+    pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
+        jnp.any(queries.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
     flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
     # TWO uint32 grid planes (vs three int32): qpos/rev/valid in w1,
     # rpos/rcid in w2 — 1/3 less scatter traffic, and every downstream
@@ -1211,7 +1237,7 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     g = g.reshape(P * NF + 1, PF + 1, 2)[:P * NF, :PF]
     w1g, w2g = g[:, :, 0], g[:, :, 1]
 
-    scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g), cfg,
+    scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g, rbits), cfg,
                                  budgets)
     pair_ids = jnp.arange(P, dtype=jnp.int32)
     _, r_frag_offs = jax.vmap(lambda r: _contig_layout(r, fl))(refs)
@@ -1219,7 +1245,7 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
                          q_frag_offs, cfg, budgets,
                          pair_ids // G_q, pair_ids % G_q,
                          r_frag_offs=r_frag_offs,
-                         frag_cid_g=frag_cid_tab)
+                         frag_cid_g=frag_cid_tab, rcid_bits=rbits)
     out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
     # per-pair anchor counts: rowid_s ascends (primary sort key, invalid
     # anchors sentinel-last), so counts are boundary differences — no
@@ -1412,9 +1438,12 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
                                  rowid_s[1:] != rowid_s[:-1]])
     rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
     ok = valid_s & (rowid_s < P * NF) & (rank < PF)
-    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok)
-    pos_overflow = jnp.any(valid_s & ((rpos_s >= (1 << 24)) |
-                                      (rcid_s >= 256)))
+    rbits = rcid_bits_for(genomes.contig_lengths.shape[1])
+    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok, rbits)
+    # see chain_block: w2 caps positions at 2^(32-rbits); w1 caps
+    # genome-global query positions at 2^30
+    pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
+        jnp.any(genomes.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
     flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
     # zero-initialised planes; consumers mask on the w1 valid bit (a
     # non-zero fill becomes a huge compile-time literal — see chain_block)
@@ -1424,13 +1453,13 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     g = g.reshape(P * NF + 1, PF + 1, 2)[:P * NF, :PF]
     w1g, w2g = g[:, :, 0], g[:, :, 1]
 
-    scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g), cfg,
+    scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g, rbits), cfg,
                                  budgets)
     tri_r, tri_q = triu_pairs(G)
     out = _post_dp_block(genomes, genomes, w1g, w2g, scores, roots,
                          q_starts, q_frag_offs, cfg, budgets,
                          jnp.asarray(tri_r), jnp.asarray(tri_q),
-                         r_frag_offs=q_frag_offs)
+                         r_frag_offs=q_frag_offs, rcid_bits=rbits)
     out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
     # per-pair anchor counts from the rowid-sorted stream (rowid_s
     # ascends, invalid anchors sentinel-last) — no scatter

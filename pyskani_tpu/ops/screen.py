@@ -39,6 +39,29 @@ def _shared_count(q_hi, q_lo, n_q, r_hi, r_lo, n_r):
     return jnp.sum(same, dtype=jnp.int32)
 
 
+def screen_pass(q_hi, q_lo, n_q, r_hi, r_lo, n_r, screen_val,
+                *, marker_k: int, rescue_small: bool):
+    """One-pair marker containment screen (jit/vmap/shard_map safe).
+
+    The single source of truth for the screen semantics (reference
+    ``check_markers_quickly``, lib.rs:623-628): containment^(1/marker_k)
+    vs ``screen_val``, the <MIN_MARKERS_RESCUE rescue clause, and the
+    ``screen_val <= 0`` pass-all clause.  Both :func:`screen_batch` and
+    the sharded search (parallel.dist) call this, so the cutoff/rescue
+    rules cannot drift between paths.  Returns (pass bool, est f32).
+    """
+    shared = _shared_count(q_hi, q_lo, n_q, r_hi, r_lo, n_r)
+    ratio = shared.astype(jnp.float32) / \
+        jnp.maximum(n_q.astype(jnp.float32), 1.0)
+    est = ratio ** (1.0 / marker_k)
+    est = jnp.where((n_q > 0) & (n_r > 0), est, 0.0)
+    passes = est > screen_val
+    if rescue_small:
+        passes = passes | (n_r < MIN_MARKERS_RESCUE)
+    passes = passes | (jnp.asarray(screen_val) <= 0.0)
+    return passes, est
+
+
 @functools.partial(jax.jit, static_argnames=("marker_k", "rescue_small"))
 def screen_batch(
     q_hi, q_lo, n_q,                 # query marker set (sorted unique)
@@ -47,15 +70,8 @@ def screen_batch(
     *, marker_k: int, rescue_small: bool,
 ):
     """Returns (pass [N] bool, est [N] f32) for one query vs N references."""
-    counts = jax.vmap(
-        lambda rh, rl, rn: _shared_count(q_hi, q_lo, n_q, rh, rl, rn)
+    return jax.vmap(
+        lambda rh, rl, rn: screen_pass(
+            q_hi, q_lo, n_q, rh, rl, rn, screen_val,
+            marker_k=marker_k, rescue_small=rescue_small)
     )(refs_hi, refs_lo, refs_n)
-    ratio = counts.astype(jnp.float32) / \
-        jnp.maximum(n_q.astype(jnp.float32), 1.0)
-    est = ratio ** (1.0 / marker_k)
-    est = jnp.where((n_q > 0) & (refs_n > 0), est, 0.0)
-    passes = est > screen_val
-    if rescue_small:
-        passes = passes | (refs_n < MIN_MARKERS_RESCUE)
-    passes = passes | (screen_val <= 0.0)
-    return passes, est

@@ -79,7 +79,9 @@ class DeviceSketch:
     n_markers: jax.Array    # int32 []
     contig_lengths: jax.Array  # int32 [C]
     n_contigs: jax.Array    # int32 []
-    total_len: jax.Array    # int32 []
+    total_len: jax.Array    # uint32 [] (aggregate genome length: uint32 so
+                            # multi-Gbp many-contig genomes don't overflow;
+                            # per-contig coordinates stay 32-bit)
 
     @property
     def seed_budget(self) -> int:
@@ -332,6 +334,33 @@ def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+# Hard ceiling on contigs per genome: contig ids ride 14-bit fields in the
+# chain engine's packed sort keys ((rowid|frag)<<14 | rcid, qcid<<17 in
+# meta, g<<15|cid<<1 in the join payloads).  The reference has no explicit
+# cap (lib.rs:155-173 loops a Vec), but 16384 contigs covers even highly
+# fragmented MAGs.
+MAX_CONTIGS_HARD = 1 << 14
+
+
+def contig_budget_for(n: int) -> int:
+    """Power-of-two contig-table budget for a genome with ``n`` contigs.
+
+    Bucketing keeps jit shapes stable across genomes with similar contig
+    counts (draft assemblies vary run to run) while letting single-contig
+    isolates stay tiny — the budget also sets how many bits of the packed
+    block-grid word go to the contig id (ops.chain.rcid_bits_for), so a
+    smaller bucket buys longer representable contigs.
+    """
+    if n > MAX_CONTIGS_HARD:
+        raise ValueError(
+            f"genome has {n} contigs (>= MIN_LENGTH_CONTIG), above the "
+            f"engine's {MAX_CONTIGS_HARD} hard limit")
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
 def _blank_seed_table(dev: "DeviceSketch") -> "DeviceSketch":
     """Drop the seed-position table (``seed=False`` sketches record only
     markers + metadata; reference lib.rs:474-475: "Compute seed positions
@@ -370,17 +399,24 @@ def sketch_genome_device(
     seed_budget: int | None = None,
     marker_budget: int | None = None,
     length_bucket: int = 1 << 20,
-    max_contigs: int = 256,
+    max_contigs: int | None = None,
     seed: bool = True,
 ) -> "HostSketch":
     """Host wrapper: encode contigs, pad, run the device kernel.
 
     Mirrors Database::_sketch (reference lib.rs:140-185): contigs shorter
-    than MIN_LENGTH_CONTIG are skipped entirely.
+    than MIN_LENGTH_CONTIG are skipped entirely.  ``max_contigs`` defaults
+    to a power-of-two bucket sized from the input (any contig count up to
+    MAX_CONTIGS_HARD works, matching the reference's unbounded Vec loop).
     """
     kept = [c for c in contigs if len(c) >= MIN_LENGTH_CONTIG]
     contig_names = [f"{name}_{i}" for i, c in enumerate(contigs)
                     if len(c) >= MIN_LENGTH_CONTIG]
+    if max_contigs is None:
+        max_contigs = contig_budget_for(len(kept))
+    elif len(kept) > max_contigs:
+        raise ValueError(f"genome {name!r} has {len(kept)} contigs, more "
+                         f"than the max_contigs={max_contigs} budget")
     lengths = [len(c) for c in kept]
     total = sum(lengths)
     L = max(round_up(max(total, 1), length_bucket), length_bucket)
@@ -394,8 +430,6 @@ def sketch_genome_device(
         starts[i] = off
         off += n
     starts[len(kept):] = off
-    if len(starts) > max_contigs + 1:
-        raise ValueError("too many contigs for max_contigs budget")
 
     sb = seed_budget or seed_budget_for(total, params.c)
     mb = marker_budget or marker_budget_for(total, params.marker_c)
@@ -418,7 +452,7 @@ def sketch_genome_device(
         n_seeds=out["n_seeds"], n_markers=out["n_markers"],
         contig_lengths=clens,
         n_contigs=np.int32(len(lengths)),
-        total_len=np.int32(total),
+        total_len=np.uint32(total),
     )
     if not seed:
         dev = _blank_seed_table(dev)
@@ -432,7 +466,7 @@ def sketch_genomes_device(
     seed_budget: int | None = None,
     marker_budget: int | None = None,
     length_bucket: int = 1 << 20,
-    max_contigs: int = 256,
+    max_contigs: int | None = None,
     device_batch: int = 8,
     seed: bool = True,
 ) -> List["HostSketch"]:
@@ -463,9 +497,16 @@ def sketch_genomes_device(
         L = max(round_up(max(max_total, 1), length_bucket), length_bucket)
         sb = seed_budget or seed_budget_for(max_total, params.c)
         mb = marker_budget or marker_budget_for(max_total, params.marker_c)
+        mc = max_contigs if max_contigs is not None else \
+            contig_budget_for(max(len(g[1]) for g in group))
+        for gname, kept, _, _, _ in group:
+            if len(kept) > mc:
+                raise ValueError(
+                    f"genome {gname!r} has {len(kept)} contigs, more than "
+                    f"the max_contigs={mc} budget")
 
         packed = np.zeros((B, L // 4), dtype=np.uint8)
-        starts = np.zeros((B, max_contigs + 1), dtype=np.int32)
+        starts = np.zeros((B, mc + 1), dtype=np.int32)
         ncon = np.zeros(B, dtype=np.int32)
         raw = np.zeros(L, dtype=np.uint8)
         for b, (_, kept, _, _, _) in enumerate(group):
@@ -479,8 +520,6 @@ def sketch_genomes_device(
             packed[b] = encode_pack_host(raw)
             starts[b, len(kept):] = off
             ncon[b] = len(kept)
-            if len(kept) > max_contigs:
-                raise ValueError("too many contigs for max_contigs budget")
 
         kern = functools.partial(
             sketch_kernel, k=params.k, marker_k=params.marker_k,
@@ -496,7 +535,7 @@ def sketch_genomes_device(
         res = jax.device_get(res)
 
         for b, (name, kept, cnames, lengths, total) in enumerate(group):
-            clens = np.zeros(max_contigs, dtype=np.int32)
+            clens = np.zeros(mc, dtype=np.int32)
             clens[:len(lengths)] = lengths
             dev = DeviceSketch(
                 kmers=res["kmers"][b], positions=res["positions"][b],
@@ -510,7 +549,7 @@ def sketch_genomes_device(
                 n_seeds=res["n_seeds"][b], n_markers=res["n_markers"][b],
                 contig_lengths=clens,
                 n_contigs=np.int32(len(lengths)),
-                total_len=np.int32(total),
+                total_len=np.uint32(total),
             )
             if not seed:
                 dev = _blank_seed_table(dev)

@@ -36,9 +36,8 @@ except ImportError:  # older jax
 
 from ..oracle.chain import ChainConfig
 from ..ops.chain import EngineBudgets, chain_block, chain_pair, chain_pairs
-from ..ops.screen import _shared_count
+from ..ops.screen import screen_pass
 from ..ops.sketch import DeviceSketch
-from ..params import MIN_MARKERS_RESCUE
 from .mesh import make_mesh  # re-export
 
 
@@ -76,18 +75,16 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
         Ql = queries.kmers.shape[0]
         NP = Rl * Ql
 
-        # --- phase 1: marker screen, all local pairs at once ---
+        # --- phase 1: marker screen, all local pairs at once (the
+        # semantics live in ops.screen.screen_pass — one implementation
+        # shared with Database.query's screen_batch) ---
         def screen_one(qi, ri):
             q = _take(queries, qi)
             r = _take(refs, ri)
-            shared = _shared_count(q.markers_hi, q.markers_lo, q.n_markers,
-                                   r.markers_hi, r.markers_lo, r.n_markers)
-            ratio = shared.astype(jnp.float32) / \
-                jnp.maximum(q.n_markers.astype(jnp.float32), 1.0)
-            est = ratio ** (1.0 / marker_k)
-            ok = est > screen_val
-            if rescue_small:
-                ok = ok | (r.n_markers < MIN_MARKERS_RESCUE)
+            ok, _ = screen_pass(
+                q.markers_hi, q.markers_lo, q.n_markers,
+                r.markers_hi, r.markers_lo, r.n_markers, screen_val,
+                marker_k=marker_k, rescue_small=rescue_small)
             return ok
         rr, qq = jnp.meshgrid(jnp.arange(Rl), jnp.arange(Ql), indexing="ij")
         passes = jax.vmap(screen_one)(qq.reshape(-1), rr.reshape(-1))

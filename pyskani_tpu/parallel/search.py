@@ -67,8 +67,9 @@ class ShardedDatabaseSearch:
 
         fl = database._chain_cfg.fragment_length
         self._fl = fl
-        max_len = max(m.total_len for m in database._markers)
-        nf = _ru(-(-max_len // fl) + 2, 128)
+        # fragments are per-contig (every contig contributes >= 1)
+        nf = _ru(max(sum(max(1, -(-L // fl)) for L in m.contig_lengths)
+                     for m in database._markers) + 2, 128)
         self._nf = nf
         self._budgets = EngineBudgets(
             max_anchors=_ru(int(bucket * 1.5) + 4096, 8192),

@@ -128,9 +128,46 @@ def get_model(c: int, learned: bool) -> Optional[GbdtModel]:
     return None
 
 
+# Off-anchor safety rails for the retrained ensemble (VERDICT r3 #6):
+# skani's own MAG-trained weights are not available offline, and the
+# bundled retrained model is only validated at the golden operating point
+# (E. coli, raw 0.9946 -> 0.9939, delta -0.0007).  Away from it the
+# correction is (a) clamped to +/-MAX_LEARNED_DELTA so a wrong-off-anchor
+# model can never move an estimate by more than the plausible bias of the
+# mean estimator, (b) faded out below the model's training range
+# (high-identity comparisons), where the trees extrapolate flatly, and
+# (c) evaluated at fixed raw-ANI knots with an isotonic (running-max)
+# projection and linear interpolation between knots, which makes the
+# corrected value STRICTLY non-decreasing in raw ANI by construction —
+# the trees' piecewise-constant jumps cannot invert the estimator's
+# order.  The calibration anchor is one of the knots, so the golden
+# learned value is preserved exactly.
+MAX_LEARNED_DELTA = 0.003
+LEARNED_FADE_LO = 0.85
+LEARNED_FADE_HI = 0.90
+
+
+def _correction_knots(model: GbdtModel) -> np.ndarray:
+    ks = np.arange(LEARNED_FADE_LO, 1.0 + 1e-9, 0.01)
+    if model.calib_x is not None:
+        anchors = [x for x in np.asarray(model.calib_x, np.float64)
+                   if LEARNED_FADE_LO < x < 1.0]
+        ks = np.concatenate([ks, anchors])
+    return np.unique(ks)
+
+
 def apply_model(model: Optional[GbdtModel], ani: float, af_q: float,
                 af_r: float) -> float:
     if model is None:
         return ani
-    x = np.array([[ani, af_q, af_r]], dtype=np.float64)
-    return float(model.predict(x)[0])
+    kx = _correction_knots(model)
+    X = np.stack([kx, np.full_like(kx, af_q), np.full_like(kx, af_r)],
+                 axis=1)
+    pred = model.predict(X)
+    delta = np.clip(pred - kx, -MAX_LEARNED_DELTA, MAX_LEARNED_DELTA)
+    w = np.clip((kx - LEARNED_FADE_LO) /
+                (LEARNED_FADE_HI - LEARNED_FADE_LO), 0.0, 1.0)
+    y = np.maximum.accumulate(kx + w * delta)  # isotonic in raw ANI
+    # outside the knot range the correction is zero (np.interp clamps to
+    # the end deltas; the low end has w=0, the high end is ani=1.0)
+    return float(ani + np.interp(ani, kx, y - kx))
