@@ -169,6 +169,116 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
     return jax.jit(step)
 
 
+def make_sharded_triangle(mesh: Mesh, cfg: ChainConfig,
+                          budgets: EngineBudgets, block: int,
+                          total_anchors: int):
+    """Build the jitted mesh-parallel all-vs-all triangle step.
+
+    The strict upper triangle of the G x G pair matrix is tiled into
+    ``block`` x ``block`` chain_block tiles; tiles are distributed
+    round-robin over EVERY device of the mesh (both axes flattened — an
+    all-vs-all triangle has no ref/query asymmetry to map onto
+    ("db", "batch") separately).  The genome stack is replicated; each
+    device runs its tile share with ``lax.map`` (one compiled program,
+    same static shape for every tile).  Diagonal tiles compute their
+    full block and the host keeps only the upper triangle — bounded
+    waste ((G/block) of ~(G/block)^2/2 tiles) for a single program
+    shape.
+
+    Called with (batch, ridx [T, block], qidx [T, block]) where T is a
+    multiple of the device count; returns dict of [T, block, block]
+    arrays sharded on the tile axis.
+    """
+    def local(batch: DeviceSketch, r_t: jax.Array, q_t: jax.Array):
+        def one(tile):
+            r_ids, q_ids = tile
+            r = jax.tree.map(lambda x: jnp.take(x, r_ids, axis=0), batch)
+            q = jax.tree.map(lambda x: jnp.take(x, q_ids, axis=0), batch)
+            return chain_block(r, q, cfg=cfg, budgets=budgets,
+                               total_anchors=total_anchors)
+
+        return jax.lax.map(one, (r_t, q_t))
+
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(("db", "batch")), P(("db", "batch"))),
+        out_specs=P(("db", "batch")),
+        check_rep=False,
+    )
+    return jax.jit(step)
+
+
+def sharded_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
+                     budgets: EngineBudgets, block: int = 8,
+                     anchors_per_pair: Optional[int] = None):
+    """All-vs-all ANI over a genome stack, parallelised over a mesh.
+
+    Mesh-scaled counterpart of ``engine.batch.triangle`` (the reference
+    has no distributed mode at all, SURVEY.md §2.3); results are
+    numerically identical to the single-device triangle because every
+    tile runs the same chain_block program.  BASELINE.md asks for the
+    all-vs-all metric "measured at 1 chip, 1 host, >= 2 hosts" — this is
+    that scaling path (VERDICT r3 next-step #4).
+
+    Returns (ref_idx, query_idx, dict of [P] numpy arrays) over the
+    strict upper triangle, in triu order.
+    """
+    from ..ops.sketch import round_up
+
+    G = batch.kmers.shape[0]
+    n_dev = mesh.size
+    while block > 1 and block * block * budgets.max_fragments > (1 << 17):
+        block //= 2
+    app = anchors_per_pair or budgets.max_anchors
+    # diagonal tiles also join their self-pairs (discarded on assembly),
+    # and a self-pair's anchor count is the full seed count — give the
+    # shared pool two extra per-pair shares per row of headroom
+    total = round_up(block * (block + 2) * app, 8192)
+
+    starts = list(range(0, G, block))
+    tiles = []   # (a, b, ridx, qidx, rpad, qpad)
+    for a in starts:
+        for b in starts:
+            if b < a:
+                continue
+            ridx = np.arange(a, min(a + block, G))
+            qidx = np.arange(b, min(b + block, G))
+            rpad = np.concatenate([ridx,
+                                   np.full(block - len(ridx), ridx[0])])
+            qpad = np.concatenate([qidx,
+                                   np.full(block - len(qidx), qidx[0])])
+            tiles.append((a, b, ridx, qidx, rpad, qpad))
+    T = len(tiles)
+    Tp = -(-T // n_dev) * n_dev
+    r_arr = np.zeros((Tp, block), np.int32)
+    q_arr = np.zeros((Tp, block), np.int32)
+    for t, (_, _, _, _, rp, qp) in enumerate(tiles):
+        r_arr[t] = rp
+        q_arr[t] = qp
+    # padding tiles recompute tile 0 (discarded on assembly)
+    for t in range(T, Tp):
+        r_arr[t] = tiles[0][4]
+        q_arr[t] = tiles[0][5]
+
+    step = make_sharded_triangle(mesh, cfg, budgets, block, total)
+    rep = replicate(mesh, batch)
+    out = step(rep, jnp.asarray(r_arr), jnp.asarray(q_arr))
+    fetched = jax.device_get(out)
+
+    mats = {}
+    for t, (a, b, ridx, qidx, _, _) in enumerate(tiles):
+        for key, val in fetched.items():
+            tile_val = val[t][:len(ridx), :len(qidx)]
+            if key not in mats:
+                mats[key] = np.zeros((G, G), tile_val.dtype)
+            mats[key][np.ix_(ridx, qidx)] = tile_val
+    ri, qi = np.triu_indices(G, k=1)
+    result = {k: v[ri, qi] for k, v in mats.items()}
+    from ..engine.batch import check_overflow
+    check_overflow(result, budgets)
+    return ri, qi, result
+
+
 def initialize_multihost(coordinator: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:

@@ -148,3 +148,38 @@ def test_restart_reshard_deterministic(tmp_path):
     b = hits_on((2, 4))
     assert a == b
     assert all(len(hs) == 6 for hs in a)
+
+
+def test_streamed_sharded_search_matches_memory(tmp_path):
+    """Disk-backed (open) stores STREAM ref chunks through the mesh
+    (VERDICT r3 #5): results must equal the in-memory preplaced-stack
+    path for any chunking, peak ref memory bounded by one chunk."""
+    import pyskani_tpu
+    from pyskani_tpu.parallel.search import ShardedDatabaseSearch
+
+    rng = np.random.default_rng(43)
+    base = random_genome(rng, 30_000)
+    db = pyskani_tpu.Database(tmp_path / "sdb")
+    for i in range(10):
+        db.sketch(f"g{i}", mutate(rng, base, 0.005 + 0.002 * i))
+    db.flush()
+
+    queries = [(f"q{i}", [mutate(rng, base, 0.02)]) for i in range(3)]
+    mesh = make_mesh(db=4, batch=2)
+
+    mem = pyskani_tpu.Database.load(tmp_path / "sdb")   # memory storage
+    s_mem = ShardedDatabaseSearch(mem, mesh, chunk=2, learned_ani=False)
+    want = [[(h.reference_name, round(h.identity, 6),
+              round(h.query_fraction, 6)) for h in hs]
+            for hs in s_mem.query_many(queries)]
+
+    lazy = pyskani_tpu.Database.open(tmp_path / "sdb")  # disk-backed
+    # stream_refs_per_device=1 -> chunks of 4 refs: 3 chunks for 10 refs
+    s_str = ShardedDatabaseSearch(lazy, mesh, chunk=2, learned_ani=False,
+                                  stream_refs_per_device=1)
+    assert s_str._streaming and len(s_str._ref_name_chunks) == 3
+    got = [[(h.reference_name, round(h.identity, 6),
+             round(h.query_fraction, 6)) for h in hs]
+           for hs in s_str.query_many(queries)]
+    assert got == want
+    assert all(len(hs) == 10 for hs in got)
