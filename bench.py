@@ -78,7 +78,7 @@ def make_batch_on_device(n, length, params, device_batch=8, seed=0):
     L = max(round_up(length, 1 << 20), 1 << 20)
     sb = seed_budget_for(length, params.c)
     mb = marker_budget_for(length, params.marker_c)
-    MC = 256
+    MC = 8  # single-contig genomes: minimum contig bucket (r4: dynamic)
     starts = np.zeros(MC + 1, np.int32)
     starts[1:] = length
     starts_d = jnp.asarray(np.broadcast_to(starts,
@@ -122,7 +122,7 @@ def make_batch_on_device(n, length, params, device_batch=8, seed=0):
         n_seeds=res["n_seeds"], n_markers=res["n_markers"],
         contig_lengths=jnp.zeros((n, MC), jnp.int32).at[:, 0].set(length),
         n_contigs=jnp.ones(n, jnp.int32),
-        total_len=jnp.full(n, length, jnp.int32),
+        total_len=jnp.full(n, length, jnp.uint32),
     )
 
     def resketch_one_stack():
@@ -206,6 +206,9 @@ def main():
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / SINGLE_CORE_SKANI_PAIRS_PER_S, 2),
+        # BASELINE.md's second north-star metric (VERDICT r3 #3)
+        "sketch_mbps": round(sketch_mbps, 1),
+        "sketch_all_s": round(t_sketch_all, 1),
     }))
 
 
