@@ -246,7 +246,29 @@ def cmd_triangle(args) -> int:
     sketches = sketch_genomes_device(named, params)
     names = [s.name for s in sketches]
     cfg = ChainConfig(est_ci=True) if args.ci else ChainConfig()
-    ri, qi, out = triangle(sketches, cfg=cfg)
+    if args.mesh:
+        # mesh-parallel triangle (parallel.dist.sharded_triangle)
+        try:
+            db_ax, batch_ax = (int(t) for t in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"error: bad --mesh {args.mesh!r} (expected DBxBATCH)",
+                  file=sys.stderr)
+            return 2
+        if args.ci:
+            print("error: --ci is not supported with --mesh",
+                  file=sys.stderr)
+            return 2
+        from .engine.batch import default_budgets, stack_sketches
+        from .parallel.dist import sharded_triangle
+        from .parallel.mesh import make_mesh
+
+        mesh = make_mesh(db=db_ax, batch=batch_ax)
+        batch = stack_sketches(sketches)
+        budgets = default_budgets(sketches, batch, cfg)
+        ri, qi, out = sharded_triangle(batch, mesh, cfg=cfg,
+                                       budgets=budgets)
+    else:
+        ri, qi, out = triangle(sketches, cfg=cfg)
     key = "ani_median" if args.median else \
         "ani_robust" if args.robust else "ani_mean"
 
@@ -336,6 +358,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-E", "--sparse", action="store_true",
                    help="sparse TSV edge list (this CLI's default; flag "
                         "kept for skani compatibility)")
+    p.add_argument("--mesh", default=None, metavar="DBxBATCH",
+                   help="run the triangle tiled over a device mesh, e.g. "
+                        "--mesh 4x2 (results identical to single-device)")
     _add_sketch_params(p)
     _add_query_params(p)
     p.set_defaults(func=cmd_triangle)

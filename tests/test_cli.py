@@ -140,3 +140,17 @@ def test_search_mesh_bad_spec(genomes, tmp_path, capsys):
     rc = cli.main(["search", "-d", out_db, "--mesh", "nope",
                    genomes["b"]])
     assert rc == 2
+
+
+def test_triangle_mesh(genomes, capsys):
+    """triangle --mesh DBxBATCH tiles the all-vs-all over the mesh and
+    emits the same TSV as the single-device triangle."""
+    rc = cli.main(["triangle", genomes["a"], genomes["b"], genomes["c"],
+                   "--learned-ani", "no"])
+    assert rc == 0
+    single = sorted(capsys.readouterr().out.strip().splitlines()[1:])
+    rc = cli.main(["triangle", genomes["a"], genomes["b"], genomes["c"],
+                   "--learned-ani", "no", "--mesh", "4x2"])
+    assert rc == 0
+    sharded = sorted(capsys.readouterr().out.strip().splitlines()[1:])
+    assert sharded == single
