@@ -172,15 +172,22 @@ def main():
     else:
         run, n_dispatch, prime = build_block_runner(batch, cfg, budgets, app)
 
-    prime()  # compile both program shapes CONCURRENTLY (XLA compile
-    #          releases the GIL; two threads overlap the two compiles,
-    #          and both overlap the async sketching dispatched above)
+    primed = prime()  # compile both program shapes CONCURRENTLY (XLA
+    #          compile releases the GIL; two threads overlap the two
+    #          compiles, and both overlap the async sketching above)
     jax.device_get(batch.n_seeds[:1])
     t_sketch_all = time.time() - t0  # sketch-all + compiles, overlapped
-    # re-sketch one stack without compile cost for the steady-state rate
-    t0 = time.time()
-    bases = resketch()
-    sketch_mbps = bases / (time.time() - t0) / 1e6
+    # drain the priming executions with a REAL fetch before timing the
+    # steady-state sketch rate (block_until_ready lies via the relay)
+    jax.device_get([a.reshape(-1)[:1] for a in primed])
+    # re-sketch one stack without compile cost for the steady-state
+    # rate; min of 3 reps rejects transient relay stalls
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        bases = resketch()
+        times.append(time.time() - t0)
+    sketch_mbps = bases / min(times) / 1e6
 
     t0 = time.time()
     out = run(check=True)  # first full run + overflow asserts
@@ -295,7 +302,7 @@ def build_block_runner(batch, cfg, budgets, app):
         return {"ani_mean": ani}
 
     def prime():
-        _prime_concurrent(
+        return _prime_concurrent(
             ([lambda: chain_triangle(take_sketch(batch, tri_tiles[0][3]),
                                      cfg=cfg, budgets=budgets,
                                      total_anchors=tri_total)["ani_mean"]]
@@ -312,16 +319,20 @@ def build_block_runner(batch, cfg, budgets, app):
 def _prime_concurrent(thunks):
     """First-call each jitted program from its own thread so the XLA
     compiles overlap (compilation happens in C++ with the GIL released;
-    degrades harmlessly to sequential if not)."""
+    degrades harmlessly to sequential if not).
+
+    Returns the result arrays — callers must drain them with a REAL
+    fetch (``jax.device_get``) before any timed region:
+    ``block_until_ready`` does not actually block through the axon
+    relay, so the priming executions would otherwise still be queued on
+    the device and pollute the next measurement.
+    """
     import concurrent.futures as cf
 
-    import jax
-
     if not thunks:
-        return
+        return []
     with cf.ThreadPoolExecutor(len(thunks)) as ex:
-        for arr in ex.map(lambda f: f(), thunks):
-            jax.block_until_ready(arr)
+        return list(ex.map(lambda f: f(), thunks))
 
 
 def build_triangle_runner(batch, cfg, budgets, app, nf):
@@ -396,7 +407,7 @@ def build_triangle_runner(batch, cfg, budgets, app, nf):
         return {"ani_mean": ani}
 
     def prime():
-        _prime_concurrent(
+        return _prime_concurrent(
             ([lambda: chain_triangle(take_sketch(batch, tri_tiles[0][3]),
                                      cfg=cfg, budgets=budgets,
                                      total_anchors=tri_total)["ani_mean"]]

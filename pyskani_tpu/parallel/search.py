@@ -87,7 +87,10 @@ class ShardedDatabaseSearch:
             self._mbucket = marker_budget_for(tl, database._params.marker_c)
             self._cb = max(contig_budget_for(len(m.contig_lengths))
                            for m in markers)
-            rc = ndb * stream_refs_per_device
+            # never chunk larger than the store itself (small DBs would
+            # otherwise pad to ndb * stream_refs_per_device dummy slots)
+            rc = ndb * min(stream_refs_per_device,
+                           max(1, -(-self._R // ndb)))
             self._ref_name_chunks = [names[i:i + rc]
                                      for i in range(0, len(names), rc)]
             self._rchunk = rc
