@@ -727,6 +727,39 @@ def _dp_grid_from_words(w1g: jax.Array, w2g: jax.Array,
             "meta": (((w2g & rmask) << 3) | (w1g & 3)).astype(jnp.int32)}
 
 
+def _grid_from_sorted_stream(rowid_s: jax.Array, w1: jax.Array,
+                             w2: jax.Array, P: int, NF: int, PF: int):
+    """[P*NF, PF] packed grid planes from the rowid-SORTED anchor stream.
+
+    The stream is sorted by rowid (primary sort key; invalid anchors
+    carry a sentinel rowid and sort last), so each grid row is a
+    contiguous stream run: row r occupies [bounds[r], bounds[r+1]) and
+    grid[r, c] = stream[bounds[r] + c] for c < min(count, PF).  Building
+    the grid as a per-row sliced GATHER replaces the r3 full-stream
+    scatter, which was the single hottest op of a block tile (46.9 of
+    ~162 ms device time, scripts/profile_chain_r4.py — TPU scatters pay
+    ~8-13 ns per random-access row while contiguous-slice gathers
+    vectorize).  Returns (w1g, w2g, row_bounds [P*NF+1]).
+    """
+    A = rowid_s.shape[0]
+    row_bounds = jnp.searchsorted(
+        rowid_s, jnp.arange(P * NF + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    starts_r = row_bounds[:-1]
+    counts_r = row_bounds[1:] - starts_r
+    cols = jnp.arange(PF, dtype=jnp.int32)
+    idx = jnp.minimum(starts_r[:, None] + cols[None, :], A - 1)
+    ok_g = cols[None, :] < jnp.minimum(counts_r, PF)[:, None]
+    # ONE stacked gather moves both words per resolved index (the
+    # per-element index resolution dominates gather cost; two separate
+    # plane gathers measured 2x14.95 ms vs ~17 ms stacked)
+    w12 = jnp.stack([w1, w2], axis=1)                # [A, 2]
+    g = w12[idx]                                     # [P*NF, PF, 2]
+    w1g = jnp.where(ok_g, g[:, :, 0], jnp.uint32(0))
+    w2g = jnp.where(ok_g, g[:, :, 1], jnp.uint32(0))
+    return w1g, w2g, row_bounds
+
+
 def _seg_scan_stats(first: jax.Array, fields: dict, axis: int = 0) -> dict:
     """Fused segmented reduction scan: within each segment (delimited by
     ``first`` flags), running count/min/max/sum per field.  Values at the
@@ -881,7 +914,7 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
         # each element's chain keep flag lives at its segment END; chain
         # segments never span rows, so propagate the flag backwards with
         # a reversed PER-ROW segmented scan, then bin kept anchors by
-        # (pair, ref fragment) with one scatter-add.
+        # (pair, ref fragment).
         Cr = refs.contig_lengths.shape[1]
         rev_start = is_last[:, ::-1]
         rev_val = jnp.where(rev_start, keep[:, ::-1], False)
@@ -894,14 +927,27 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
         keep_elem = keep_fill[:, ::-1] & ((w1_s & 1) == 1)
         rcid_el = jnp.clip((w2_s & rmask).astype(jnp.int32), 0, Cr - 1)
         g_of = tail_r[pair_of_row]                    # [R] ref genome id
-        refrag = r_frag_offs.reshape(-1)[
-            g_of[:, None] * r_frag_offs.shape[1] + rcid_el] + \
-            (w2_s >> rcid_bits).astype(jnp.int32) // fl
+        # the per-element fragment-offset lookup and the (pair, refrag)
+        # binning both run as FUSED compare-reductions instead of
+        # gather/scatter: random-access ops pay ~8 ns per element on TPU
+        # (the r3 scatter-add + table gather were 18.3 + 16.6 ms per
+        # 8x8 tile, scripts/profile_chain_r4.py) while a K-way masked
+        # sum streams the grid at VPU rate.  The offset table and the
+        # histogram bin axis are small (G*(C+1), NF), so the reduction
+        # never materializes.
+        flat_off = g_of[:, None] * r_frag_offs.shape[1] + rcid_el
+        tab = r_frag_offs.reshape(-1)
+        base = jnp.sum(
+            jnp.where(flat_off[:, :, None] ==
+                      jnp.arange(tab.shape[0], dtype=jnp.int32), tab, 0),
+            axis=-1)
+        refrag = base + (w2_s >> rcid_bits).astype(jnp.int32) // fl
         ok_el = keep_elem & (refrag < NF)
-        numer_r = jnp.zeros(P * NF + 1, jnp.int32).at[
-            jnp.where(ok_el, pair_of_row[:, None] * NF + refrag,
-                      P * NF).reshape(-1)].add(
-            ok_el.astype(jnp.int32).reshape(-1))[:P * NF].reshape(P, NF)
+        row_hist = jnp.sum(
+            (ok_el[:, :, None] &
+             (refrag[:, :, None] == jnp.arange(NF, dtype=jnp.int32))
+             ).astype(jnp.int32), axis=1)             # [R, NF]
+        numer_r = jnp.sum(row_hist.reshape(P, NF, NF), axis=1)
     else:
         numer_r = jnp.zeros((P, NF), jnp.int32)
 
@@ -1209,14 +1255,12 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     qpos_s = gq_s - row_qstart.reshape(-1)[
         qi_s * NF + jnp.clip(frag_s, 0, NF - 1)]
 
-    A = rowid_s.shape[0]
-    ii = jnp.arange(A, dtype=jnp.int32)
-    row_first = jnp.concatenate([jnp.ones(1, bool),
-                                 rowid_s[1:] != rowid_s[:-1]])
-    rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
-    ok = valid_s & (rowid_s < P * NF) & (rank < PF)
     rbits = rcid_bits_for(refs.contig_lengths.shape[1])
-    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok, rbits)
+    okv = valid_s & (rowid_s < P * NF)
+    # anchors beyond a row's first PF never enter the grid (the gather
+    # below reads only each row's leading slice), so the packed valid
+    # bit needs no rank test
+    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, okv, rbits)
     # positions past the packed w2 range corrupt results; query-side gq
     # rides w1 as gq<<2, so genomes >= 2^30 bp total overflow there too.
     # Both are reported loudly (check_overflow raises) — Database.query
@@ -1224,18 +1268,10 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     # full-range per-pair path instead.
     pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
         jnp.any(queries.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
-    flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
-    # TWO uint32 grid planes (vs three int32): qpos/rev/valid in w1,
-    # rpos/rcid in w2 — 1/3 less scatter traffic, and every downstream
-    # sort/scan carries two payload words instead of three.  Planes are
-    # ZERO-initialised (a zero literal is free; a non-zero fill would be
-    # materialised as a huge compile-time constant): empty slots read
-    # w1=0 (valid bit clear) and every consumer masks on it.
-    payload = jnp.stack([w1, w2], axis=1)
-    g = jnp.zeros(((P * NF + 1) * (PF + 1), 2), jnp.uint32).at[flat].set(
-        payload)
-    g = g.reshape(P * NF + 1, PF + 1, 2)[:P * NF, :PF]
-    w1g, w2g = g[:, :, 0], g[:, :, 1]
+    # TWO uint32 grid planes (qpos/rev/valid in w1, rpos/rcid in w2),
+    # built by per-row sliced gather from the sorted stream
+    w1g, w2g, row_bounds = _grid_from_sorted_stream(
+        rowid_s, w1, w2, P, NF, PF)
 
     scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g, rbits), cfg,
                                  budgets)
@@ -1247,13 +1283,11 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
                          r_frag_offs=r_frag_offs,
                          frag_cid_g=frag_cid_tab, rcid_bits=rbits)
     out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
-    # per-pair anchor counts: rowid_s ascends (primary sort key, invalid
-    # anchors sentinel-last), so counts are boundary differences — no
-    # scatter over the anchor stream.  The shared-pool overflow flag is
-    # broadcast to every pair of the block (the pool is shared, so any
-    # pair may be the one truncated).
-    bounds = jnp.searchsorted(
-        rowid_s, jnp.arange(P + 1, dtype=jnp.int32) * NF, side="left")
+    # per-pair anchor counts: row-bound differences at pair boundaries
+    # (rowid_s ascends; invalid anchors sentinel-last).  The shared-pool
+    # overflow flag is broadcast to every pair of the block (the pool is
+    # shared, so any pair may be the one truncated).
+    bounds = row_bounds[jnp.arange(P + 1, dtype=jnp.int32) * NF]
     n_anchors = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     out["n_anchors"] = n_anchors
     out["anchors_overflow"] = jnp.broadcast_to(a["anchors_overflow"], (P,))
@@ -1432,26 +1466,16 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     rcid_s = (k1 & 0x3FFF).astype(jnp.int32)
     rpos_s = k2
 
-    A = rowid_s.shape[0]
-    ii = jnp.arange(A, dtype=jnp.int32)
-    row_first = jnp.concatenate([jnp.ones(1, bool),
-                                 rowid_s[1:] != rowid_s[:-1]])
-    rank = ii - jax.lax.cummax(jnp.where(row_first, ii, 0))
-    ok = valid_s & (rowid_s < P * NF) & (rank < PF)
     rbits = rcid_bits_for(genomes.contig_lengths.shape[1])
-    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, ok, rbits)
+    okv = valid_s & (rowid_s < P * NF)
+    w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, okv, rbits)
     # see chain_block: w2 caps positions at 2^(32-rbits); w1 caps
     # genome-global query positions at 2^30
     pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
         jnp.any(genomes.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
-    flat = jnp.where(ok, rowid_s * (PF + 1) + rank, (P * NF + 1) * (PF + 1) - 1)
-    # zero-initialised planes; consumers mask on the w1 valid bit (a
-    # non-zero fill becomes a huge compile-time literal — see chain_block)
-    payload = jnp.stack([w1, w2], axis=1)
-    g = jnp.zeros(((P * NF + 1) * (PF + 1), 2), jnp.uint32).at[flat].set(
-        payload)
-    g = g.reshape(P * NF + 1, PF + 1, 2)[:P * NF, :PF]
-    w1g, w2g = g[:, :, 0], g[:, :, 1]
+    # per-row sliced gather from the sorted stream (see chain_block)
+    w1g, w2g, row_bounds = _grid_from_sorted_stream(
+        rowid_s, w1, w2, P, NF, PF)
 
     scores, roots = _dp_dispatch(_dp_grid_from_words(w1g, w2g, rbits), cfg,
                                  budgets)
@@ -1461,10 +1485,8 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
                          jnp.asarray(tri_r), jnp.asarray(tri_q),
                          r_frag_offs=q_frag_offs, rcid_bits=rbits)
     out["pos_overflow"] = jnp.broadcast_to(pos_overflow, (P,))
-    # per-pair anchor counts from the rowid-sorted stream (rowid_s
-    # ascends, invalid anchors sentinel-last) — no scatter
-    bounds = jnp.searchsorted(
-        rowid_s, jnp.arange(P + 1, dtype=jnp.int32) * NF, side="left")
+    # per-pair anchor counts: row-bound differences at pair boundaries
+    bounds = row_bounds[jnp.arange(P + 1, dtype=jnp.int32) * NF]
     out["n_anchors"] = (bounds[1:] - bounds[:-1]).astype(jnp.int32)
     out["anchors_overflow"] = jnp.broadcast_to(a["anchors_overflow"], (P,))
     return out
