@@ -212,31 +212,32 @@ def _pre_dp(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
     qcid_s = frag_cid_tab[jnp.clip(frag_s, 0, NF - 1)]
     qpos_s = gq_s - q_starts[qcid_s]
 
-    # rank within fragment (segmented iota — no binary search)
+    # the stream is sorted by fragment (k1's high bits), so each grid
+    # row is a contiguous run: build the planes by per-row sliced gather
+    # (same trick as _grid_from_sorted_stream; anchors past a row's
+    # first PF are simply never read)
     A = frag_s.shape[0]
-    ii = jnp.arange(A, dtype=jnp.int32)
-    frag_first = jnp.concatenate([jnp.ones(1, bool),
-                                  frag_s[1:] != frag_s[:-1]])
-    rank = ii - jax.lax.cummax(jnp.where(frag_first, ii, 0))
-    ok = valid_s & (frag_s < NF) & (rank < PF)
-    row = jnp.where(ok, frag_s, NF)   # overflow row NF is discarded
-    col = jnp.where(ok, rank, PF)
-
-    def grid_of(vals, fill):
-        g = jnp.full((NF + 1, PF + 1), fill, vals.dtype)
-        g = g.at[row, col].set(jnp.where(ok, vals, fill))
-        return g[:NF, :PF]
-
-    # pack the small fields into one scatter: qcid[30:17] rcid[16:3] rev[1]
-    # valid[0] (contig ids < 16384 by budget)
-    meta = (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3) \
-        | (rev_s.astype(jnp.int32) << 1) | ok.astype(jnp.int32)
-    meta = jnp.where(ok, meta, 0)
-    meta_g = grid_of(meta, 0)
+    # small fields packed: qcid[30:17] rcid[16:3] rev[1] valid[0]
+    # (contig ids < 16384 by budget)
+    meta = jnp.where(
+        valid_s,
+        (qcid_s.astype(jnp.int32) << 17) | (rcid_s.astype(jnp.int32) << 3)
+        | (rev_s.astype(jnp.int32) << 1) | 1,
+        0)
+    row_bounds = jnp.searchsorted(
+        frag_s, jnp.arange(NF + 1, dtype=jnp.int32),
+        side="left").astype(jnp.int32)
+    starts_r = row_bounds[:-1]
+    counts_r = row_bounds[1:] - starts_r
+    cols = jnp.arange(PF, dtype=jnp.int32)
+    idx = jnp.minimum(starts_r[:, None] + cols[None, :], A - 1)
+    ok_g = cols[None, :] < jnp.minimum(counts_r, PF)[:, None]
+    stacked = jnp.stack([qpos_s, rpos_s, meta], axis=1)   # [A, 3]
+    g = stacked[idx]                                      # [NF, PF, 3]
     grid = {
-        "qpos": grid_of(qpos_s, I32_SENTINEL),
-        "rpos": grid_of(rpos_s, I32_SENTINEL),
-        "meta": meta_g,
+        "qpos": jnp.where(ok_g, g[:, :, 0], I32_SENTINEL),
+        "rpos": jnp.where(ok_g, g[:, :, 1], I32_SENTINEL),
+        "meta": jnp.where(ok_g, g[:, :, 2], 0),
     }
     return grid, a["n_anchors"], a["anchors_overflow"]
 
