@@ -279,6 +279,100 @@ def sharded_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
     return ri, qi, result
 
 
+def ring_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
+                  budgets: EngineBudgets,
+                  anchors_per_pair: Optional[int] = None):
+    """Memory-scalable all-vs-all: genome blocks ride an ICI ring.
+
+    ``sharded_triangle`` replicates the whole stack on every device —
+    fastest for modest G, but per-device memory grows with G.  Here the
+    stack is SHARDED into D blocks (one per device); each round, every
+    device receives its neighbour's block over the interconnect
+    (``jax.lax.ppermute`` ring shift — the blockwise/ring long-sequence
+    analog of SURVEY.md §2.3) and chains its resident block against the
+    visitor, so per-device memory is TWO blocks regardless of G.  Rounds
+    ``s = 1 .. ceil((D-1)/2)`` cover every unordered block pair exactly
+    once (the final round is computed twice when D is even — both
+    owners produce the identical canonically-oriented tile).  Tile
+    orientation follows the single-device convention (ref = the block
+    with smaller global ids), selected per-device by input swap, so
+    results are bit-identical to ``engine.batch.triangle``.
+
+    Returns (ref_idx, query_idx, dict of [P] numpy arrays) in triu
+    order over the G genomes.
+    """
+    from ..ops.sketch import round_up
+
+    G = batch.kmers.shape[0]
+    D = mesh.size
+    ring = Mesh(mesh.devices.reshape(-1), ("ring",))
+    Bl = -(-G // D)
+    if Bl * Bl * budgets.max_fragments > (1 << 17):
+        raise ValueError(
+            f"block of {Bl} genomes exceeds the pair-grid limit; use "
+            f"more devices or smaller max_fragments")
+    app = anchors_per_pair or budgets.max_anchors
+    total = round_up(Bl * (Bl + 2) * app, 8192)
+    S = D // 2 if D % 2 == 0 else (D - 1) // 2
+
+    # pad to D*Bl genomes with repeats of genome 0 (discarded on host)
+    pad = D * Bl - G
+    if pad:
+        batch = jax.tree.map(
+            lambda x: jnp.concatenate([x] + [x[:1]] * pad), batch)
+    sharded = shard_leading(ring, batch, "ring")
+
+    def local(block: DeviceSketch):
+        d = jax.lax.axis_index("ring")
+        diag = chain_block(block, block, cfg=cfg, budgets=budgets,
+                           total_anchors=total)
+        outs = [jax.tree.map(lambda x: x[None], diag)]
+        buf = block
+        for s in range(1, S + 1):
+            # receive the block of device (d + s) — shift the ring by
+            # one each round (source i+1 -> dest i)
+            buf = jax.tree.map(
+                lambda x: jax.lax.ppermute(
+                    x, "ring", [((i + 1) % D, i) for i in range(D)]),
+                buf)
+            e = (d + s) % D
+            mine_is_ref = d < e    # canonical orientation: smaller block
+            r_in = jax.tree.map(
+                lambda a, b: jnp.where(mine_is_ref, a, b), block, buf)
+            q_in = jax.tree.map(
+                lambda a, b: jnp.where(mine_is_ref, b, a), block, buf)
+            out = chain_block(r_in, q_in, cfg=cfg, budgets=budgets,
+                              total_anchors=total)
+            outs.append(jax.tree.map(lambda x: x[None], out))
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs)
+
+    step = shard_map(local, mesh=ring, in_specs=(P("ring"),),
+                     out_specs=P("ring"), check_rep=False)
+    fetched = jax.device_get(jax.jit(step)(sharded))
+
+    # host assembly: device d's rows sit at [d*(S+1), (d+1)*(S+1))
+    mats = {}
+    for d in range(D):
+        for s in range(0, S + 1):
+            e = (d + s) % D
+            lo_b, hi_b = min(d, e), max(d, e)
+            ridx = np.arange(lo_b * Bl, (lo_b + 1) * Bl)
+            qidx = np.arange(hi_b * Bl, (hi_b + 1) * Bl)
+            rk = ridx < G
+            qk = qidx < G
+            for key, val in fetched.items():
+                tile = val[d * (S + 1) + s]
+                if key not in mats:
+                    mats[key] = np.zeros((G, G), tile.dtype)
+                mats[key][np.ix_(ridx[rk], qidx[qk])] = \
+                    tile[np.ix_(rk.nonzero()[0], qk.nonzero()[0])]
+    ri, qi = np.triu_indices(G, k=1)
+    result = {k: v[ri, qi] for k, v in mats.items()}
+    from ..engine.batch import check_overflow
+    check_overflow(result, budgets)
+    return ri, qi, result
+
+
 def initialize_multihost(coordinator: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None) -> None:

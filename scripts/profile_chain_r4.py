@@ -84,7 +84,7 @@ for p in paths:
             ev_by_name[nm][1] += 1
 tot = sum(v[0] for v in ev_by_name.values())
 print(f"total device time: {tot:.1f} ms", file=sys.stderr)
-for nm, (dur, cnt) in sorted(ev_by_name.items(), key=lambda kv: -kv[1][0])[:25]:
+for nm, (dur, cnt) in sorted(ev_by_name.items(), key=lambda kv: -kv[1][0])[:60]:
     print(f"{dur:8.2f} ms x{cnt:<4d} {nm[:100]}", file=sys.stderr)
 
 # map fusion names to source lines

@@ -53,3 +53,26 @@ def test_sharded_triangle_matches_single_device(family32, mesh_shape):
                 "af_ref"):
         np.testing.assert_allclose(out[key], single[key], rtol=0,
                                    atol=1e-6, err_msg=key)
+
+
+@pytest.mark.parametrize("n", [32, 29])
+def test_ring_triangle_matches_single_device(family32, n):
+    """Sharded-memory ring all-vs-all (ppermute block rotation) equals
+    the single-device triangle bit-for-bit, including ragged G that
+    pads the last block."""
+    from pyskani_tpu.parallel.dist import ring_triangle
+
+    sketches = family32[:n]
+    batch = stack_sketches(sketches)
+    ri0, qi0, single = triangle(sketches, CFG, BUDGETS, block=4, group=8,
+                                anchors_per_pair=2048)
+    mesh = make_mesh(db=4, batch=2)
+    ri, qi, out = ring_triangle(batch, mesh, cfg=CFG, budgets=BUDGETS,
+                                anchors_per_pair=2048)
+    assert len(ri) == n * (n - 1) // 2
+    np.testing.assert_array_equal(ri, ri0)
+    np.testing.assert_array_equal(qi, qi0)
+    for key in ("ani_mean", "ani_robust", "ani_median", "af_query",
+                "af_ref"):
+        np.testing.assert_allclose(out[key], single[key], rtol=0,
+                                   atol=1e-6, err_msg=key)
