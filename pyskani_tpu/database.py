@@ -274,6 +274,14 @@ class Database:
         nf_r = max((sum(max(1, -(-L // fl)) for L in m.contig_lengths)
                     for m in markers), default=1)
         nf = round_up(max(nf_q, nf_r) + 2, 128)
+        # budgets are static jit arguments: bucket the fragment count to
+        # powers of two above 384 so shortlist-dependent sizing produces
+        # only a handful of distinct compiled shapes per database
+        if nf > 384:
+            p = 512
+            while p < nf:
+                p *= 2
+            nf = p
         qa = query.device.seed_budget
         return EngineBudgets(
             max_anchors=round_up(int(qa * 1.5) + 4096, 8192),
@@ -374,7 +382,6 @@ class Database:
         from .ops.chain import rcid_bits_for
         from .ops.sketch import contig_budget_for
 
-        budgets = self._budgets_for(query, set(shortlist))
         cfg = self._chain_cfg
         if est_ci:
             import dataclasses
@@ -399,26 +406,50 @@ class Database:
                     out[k][order[rn]] = arr[j]
 
         if isinstance(self._storage, MemoryStorage):
+            import dataclasses as _dc
+
             names_all, stack, bucket, mbucket = self._ref_stack()
-            cap = 1 << (32 - rcid_bits_for(stack.contig_lengths.shape[1]))
+            # packed-range cap from the SHORTLIST's own contig buckets:
+            # one fragmented genome elsewhere in the store must not
+            # shrink the packed position range (and force the slow
+            # per-pair fallback) for every ordinary reference.  The
+            # stacked contig axis is sliced down to the shortlist bucket
+            # for the block call — every shortlisted genome's contigs
+            # fit it by construction.
+            cb = max((contig_budget_for(len(by_name[rn].contig_lengths))
+                      for rn in shortlist), default=8)
+            cb = min(cb, stack.contig_lengths.shape[1])
+            cap = 1 << (32 - rcid_bits_for(cb))
             block_names = [rn for rn in shortlist
                            if max(by_name[rn].contig_lengths,
                                   default=0) < cap]
             fb_names = [rn for rn in shortlist
                         if max(by_name[rn].contig_lengths,
                                default=0) >= cap]
+            stack_block = stack if cb == stack.contig_lengths.shape[1] \
+                else _dc.replace(stack,
+                                 contig_lengths=stack.contig_lengths[:, :cb])
             qpad = repad_sketch(query, max(bucket, query.device.seed_budget),
                                 max(mbucket, query.device.marker_budget))
             with profiling.scope("chain"):
                 if block_names:
+                    # per-partition budgets: a giant fallback-routed ref
+                    # must not inflate the block path's fragment budget.
+                    # The block pipeline caps pairs*max_fragments at 2^17
+                    # (grid-lane limit): chunk accordingly.
+                    budgets = self._budgets_for(query, set(block_names))
+                    bcap = max(1, min(16,
+                                      (1 << 17) // budgets.max_fragments))
                     idx = np.array([names_all.index(rn)
                                     for rn in block_names], np.int32)
-                    part = one_vs_many(stack, qpad, idx, cfg=cfg,
+                    part = one_vs_many(stack_block, qpad, idx, cfg=cfg,
                                        budgets=budgets,
-                                       chunk=_pow2_chunk(len(idx)))
+                                       chunk=_pow2_chunk(len(idx),
+                                                         cap=bcap))
                     check_overflow(part, budgets)
                     merge(part, block_names)
                 if fb_names:
+                    budgets = self._budgets_for(query, set(fb_names))
                     idx = np.array([names_all.index(rn)
                                     for rn in fb_names], np.int32)
                     part = one_vs_many_pairs(
@@ -447,14 +478,18 @@ class Database:
             qpad = repad_sketch(query, bucket, mbucket)
             with profiling.scope("chain"):
                 if block_names:
+                    budgets = self._budgets_for(query, set(block_names))
+                    bcap = max(1, min(16,
+                                      (1 << 17) // budgets.max_fragments))
                     part = stream_one_vs_many(
                         self._storage.load, list(block_names), qpad,
                         cfg=cfg, budgets=budgets, seed_budget=bucket,
                         marker_budget=mbucket, contig_budget=cb,
-                        chunk=_pow2_chunk(len(block_names)))
+                        chunk=_pow2_chunk(len(block_names), cap=bcap))
                     check_overflow(part, budgets)
                     merge(part, block_names)
                 if fb_names:
+                    budgets = self._budgets_for(query, set(fb_names))
                     fb_stack = stack_sketches(
                         [self._storage.load(rn) for rn in fb_names],
                         bucket, mbucket)

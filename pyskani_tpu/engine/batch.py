@@ -253,10 +253,25 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
         while block > 1 and block * block * budgets.max_fragments > (1 << 17):
             block //= 2
 
-    starts = list(range(0, n, group))
+    # genomes whose contigs exceed the packed block-grid position range
+    # route through the full-range per-pair pipeline (reference
+    # contract: GnPosition is full-width, lib.rs:160) — same reroute
+    # Database.query applies
+    from ..ops.chain import rcid_bits_for
+    cap = 1 << (32 - rcid_bits_for(batch.contig_lengths.shape[1]))
+    for s in sketches:
+        if s.total_len >= (1 << 30):
+            raise ValueError(f"genome {s.name!r} is {s.total_len} bp; "
+                             f"genomes >= 2^30 bp total exceed the "
+                             f"engine's coordinate range")
+    giant = {i for i, s in enumerate(sketches)
+             if max(s.lengths, default=0) >= cap}
+    pk = np.array([i for i in range(n) if i not in giant], np.int32)
+
+    starts = list(range(0, len(pk), group))
     pending = []  # (ridx, qidx, device-result dict of [.,.] or [P] arrays)
     for a in starts:
-        gidx = np.arange(a, min(a + group, n))
+        gidx = pk[a:a + group]
         if len(gidx) < 2:
             # a single-genome group has no internal pairs (and zero-pair
             # grids would crash the kernel); cross-group rectangles below
@@ -268,12 +283,22 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
                 len(gidx) * (len(gidx) - 1) // 2 * app, 8192))
         tri_r, tri_q = np.triu_indices(len(gidx), k=1)
         pending.append((gidx[tri_r], gidx[tri_q], out))
+    if giant:
+        # pairs touching a giant genome: full-range per-pair pipeline,
+        # canonical orientation (ref = smaller index)
+        ri_f, qi_f = zip(*[(i, j) for i in range(n)
+                           for j in range(i + 1, n)
+                           if i in giant or j in giant])
+        out = pairs_ani(batch, jnp.asarray(np.array(ri_f, np.int32)),
+                        jnp.asarray(np.array(qi_f, np.int32)),
+                        cfg=cfg, budgets=budgets, chunk=4)
+        pending.append((np.array(ri_f), np.array(qi_f), out))
     for a in starts:                        # cross-group rectangles
-        ridx_g = np.arange(a, min(a + group, n))
+        ridx_g = pk[a:a + group]
         for b in starts:
             if b <= a:
                 continue
-            qidx_g = np.arange(b, min(b + group, n))
+            qidx_g = pk[b:b + group]
             for bi in range(0, len(ridx_g), block):
                 for bj in range(0, len(qidx_g), block):
                     ridx = ridx_g[bi:bi + block]

@@ -928,27 +928,40 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
         keep_elem = keep_fill[:, ::-1] & ((w1_s & 1) == 1)
         rcid_el = jnp.clip((w2_s & rmask).astype(jnp.int32), 0, Cr - 1)
         g_of = tail_r[pair_of_row]                    # [R] ref genome id
-        # the per-element fragment-offset lookup and the (pair, refrag)
-        # binning both run as FUSED compare-reductions instead of
-        # gather/scatter: random-access ops pay ~8 ns per element on TPU
-        # (the r3 scatter-add + table gather were 18.3 + 16.6 ms per
-        # 8x8 tile, scripts/profile_chain_r4.py) while a K-way masked
-        # sum streams the grid at VPU rate.  The offset table and the
-        # histogram bin axis are small (G*(C+1), NF), so the reduction
-        # never materializes.
         flat_off = g_of[:, None] * r_frag_offs.shape[1] + rcid_el
         tab = r_frag_offs.reshape(-1)
-        base = jnp.sum(
-            jnp.where(flat_off[:, :, None] ==
-                      jnp.arange(tab.shape[0], dtype=jnp.int32), tab, 0),
-            axis=-1)
-        refrag = base + (w2_s >> rcid_bits).astype(jnp.int32) // fl
-        ok_el = keep_elem & (refrag < NF)
-        row_hist = jnp.sum(
-            (ok_el[:, :, None] &
-             (refrag[:, :, None] == jnp.arange(NF, dtype=jnp.int32))
-             ).astype(jnp.int32), axis=1)             # [R, NF]
-        numer_r = jnp.sum(row_hist.reshape(P, NF, NF), axis=1)
+        # the per-element fragment-offset lookup and the (pair, refrag)
+        # binning run as FUSED compare-reductions when the offset table
+        # and the bin axis are small: random-access ops pay ~8 ns per
+        # element on TPU (the r3 scatter-add + table gather were 18.3 +
+        # 16.6 ms per 8x8 tile, scripts/profile_chain_r4.py) while a
+        # K-way masked sum streams the grid at VPU rate (~2 ns/elem at
+        # K~200).  The reduction scales linearly in K and NF though, so
+        # for fragmented many-contig stores (large contig buckets / many
+        # fragments) the gather + scatter-add formulation wins and is
+        # kept as the fallback — both are exact.
+        if tab.shape[0] <= 512 and NF <= 512:
+            base = jnp.sum(
+                jnp.where(flat_off[:, :, None] ==
+                          jnp.arange(tab.shape[0], dtype=jnp.int32),
+                          tab, 0),
+                axis=-1)
+            refrag = base + (w2_s >> rcid_bits).astype(jnp.int32) // fl
+            ok_el = keep_elem & (refrag < NF)
+            row_hist = jnp.sum(
+                (ok_el[:, :, None] &
+                 (refrag[:, :, None] == jnp.arange(NF, dtype=jnp.int32))
+                 ).astype(jnp.int32), axis=1)         # [R, NF]
+            numer_r = jnp.sum(row_hist.reshape(P, NF, NF), axis=1)
+        else:
+            refrag = tab[flat_off] + \
+                (w2_s >> rcid_bits).astype(jnp.int32) // fl
+            ok_el = keep_elem & (refrag < NF)
+            numer_r = jnp.zeros(P * NF + 1, jnp.int32).at[
+                jnp.where(ok_el, pair_of_row[:, None] * NF + refrag,
+                          P * NF).reshape(-1)].add(
+                ok_el.astype(jnp.int32).reshape(-1))[:P * NF].reshape(P,
+                                                                      NF)
     else:
         numer_r = jnp.zeros((P, NF), jnp.int32)
 

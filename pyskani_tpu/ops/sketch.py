@@ -314,21 +314,26 @@ def sketch_kernel(
     # the union mask is compacted with a single full-length index sort;
     # the per-table splits then run at compacted (~L/117) scale.  Saves
     # one multi-million-element sort per genome vs compacting each table
-    # from the full stream.  Union clipping only deviates from per-table
-    # clipping when seeds+markers jointly exceed BOTH budgets (a
-    # budget-sizing failure; budgets carry 25-35% slack).
+    # from the full stream.  When the union prefix clips (possible once
+    # either table overflows its budget — a sizing failure; budgets
+    # carry 25-35% slack), the split counts below still reflect exactly
+    # what survived into each table.
     union_budget = seed_budget + marker_budget
     n_union, u_src = _compact_idx(seed_mask | marker_mask, union_budget)
     u_seed = seed_mask[u_src] & (jnp.arange(union_budget) < n_union)
     u_marker = marker_mask[u_src] & (jnp.arange(union_budget) < n_union)
 
+    # n_seeds from _compact counts the seed rows ACTUALLY in the table
+    # (min(sum(u_seed), seed_budget)) — under one-sided clipping, fewer
+    # genuine seeds than seed_budget may survive the union prefix, and
+    # reporting the full-mask count would make consumers treat sentinel
+    # rows as seeds
     n_seeds, s_kmer, s_pos, s_cid, s_strand = _compact(
         u_seed, seed_budget,
         (canon[u_src], pos_in_contig[u_src], contig_id[u_src],
          strand[u_src]),
         (U32_SENTINEL, I32_SENTINEL, I32_SENTINEL, False),
     )
-    n_seeds = jnp.minimum(jnp.sum(seed_mask, dtype=jnp.int32), seed_budget)
     s_kmer, s_cid, s_pos, s_strand = jax.lax.sort(
         (s_kmer, s_cid, s_pos, s_strand), num_keys=3)
     # own multiplicity = run length in the kmer-sorted table, via run
@@ -454,6 +459,10 @@ def sketch_genome_device(
                     if len(c) >= MIN_LENGTH_CONTIG]
     if max_contigs is None:
         max_contigs = contig_budget_for(len(kept))
+    elif max_contigs > MAX_CONTIGS_HARD:
+        raise ValueError(f"max_contigs={max_contigs} exceeds the engine's "
+                         f"{MAX_CONTIGS_HARD} hard limit (contig ids ride "
+                         f"14-bit fields in the chain sort keys)")
     elif len(kept) > max_contigs:
         raise ValueError(f"genome {name!r} has {len(kept)} contigs, more "
                          f"than the max_contigs={max_contigs} budget")
@@ -539,6 +548,9 @@ def sketch_genomes_device(
         mb = marker_budget or marker_budget_for(max_total, params.marker_c)
         mc = max_contigs if max_contigs is not None else \
             contig_budget_for(max(len(g[1]) for g in group))
+        if mc > MAX_CONTIGS_HARD:
+            raise ValueError(f"max_contigs={mc} exceeds the engine's "
+                             f"{MAX_CONTIGS_HARD} hard limit")
         for gname, kept, _, _, _ in group:
             if len(kept) > mc:
                 raise ValueError(

@@ -313,7 +313,7 @@ def ring_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
             f"more devices or smaller max_fragments")
     app = anchors_per_pair or budgets.max_anchors
     total = round_up(Bl * (Bl + 2) * app, 8192)
-    S = D // 2 if D % 2 == 0 else (D - 1) // 2
+    S = D // 2  # rounds; the final one is duplicated when D is even
 
     # pad to D*Bl genomes with repeats of genome 0 (discarded on host)
     pad = D * Bl - G

@@ -151,10 +151,12 @@ class ShardedDatabaseSearch:
         qg = self._qg
         items = list(named_queries)
 
-        # sketch + stack every query group up front (queries are the
-        # small side; the ref store streams in the outer loop below so
-        # each ref chunk is deserialised ONCE for all query groups)
-        qgroups = []   # (group items, sharded query stack)
+        # sketch + stack every query group up front, HOST-resident
+        # (queries are the small side; the ref store streams in the
+        # outer loop below so each ref chunk is deserialised ONCE for
+        # all query groups).  Device placement happens per dispatch so
+        # query-side device memory stays one group at a time.
+        qgroups = []   # (group items, host query stack)
         for lo in range(0, len(items), qg):
             group = items[lo:lo + qg]
             n = len(group)
@@ -176,16 +178,21 @@ class ShardedDatabaseSearch:
                 qstack = jax.tree.map(
                     lambda x: np.concatenate([x] + [x[:1]] * (qg - n)),
                     qstack)
-            qgroups.append((group, shard_leading(self._mesh, qstack,
-                                                 "batch")))
+            qgroups.append((group, qstack))
 
         keys = ("ani_mean", "ani_robust", "ani_median", "af_query",
                 "af_ref", "screen_pass")
         # planes[g][k] assembles the full [R, Q_group] result per group
         planes = [{k: None for k in keys} for _ in qgroups]
 
-        def run_chunk(refs_c, row_lo: int, n_rows: int):
-            pend = [self._step(refs_c, qsh) for _, qsh in qgroups]
+        def dispatch(refs_c):
+            # async: dispatch every query group's step before anything
+            # blocks, so device compute overlaps host work
+            return [self._step(refs_c,
+                               shard_leading(self._mesh, qstack, "batch"))
+                    for _, qstack in qgroups]
+
+        def collect(pend, row_lo: int, n_rows: int):
             fetched = jax.device_get([{k: o[k] for k in keys}
                                       for o in pend])
             for g, out in enumerate(fetched):
@@ -197,19 +204,22 @@ class ShardedDatabaseSearch:
                         out[k][:n_rows]
 
         if self._streaming:
-            nxt = self._ship_ref_chunk(self._ref_name_chunks[0])
+            chunks = self._ref_name_chunks
+            pend = dispatch(self._ship_ref_chunk(chunks[0]))
             row = 0
-            for ci in range(len(self._ref_name_chunks)):
-                cur, nxt = nxt, None
-                if ci + 1 < len(self._ref_name_chunks):
-                    # deserialise + transfer the next chunk while the
-                    # devices chew on this one (dispatch is async)
-                    nxt = self._ship_ref_chunk(self._ref_name_chunks[ci + 1])
-                n_rows = len(self._ref_name_chunks[ci])
-                run_chunk(cur, row, n_rows)
-                row += n_rows
+            for ci in range(len(chunks)):
+                nxt_pend = None
+                if ci + 1 < len(chunks):
+                    # deserialise + transfer + ENQUEUE the next chunk
+                    # while the devices chew on the current one (peak
+                    # device memory: two ref chunks — double buffering)
+                    nxt_pend = dispatch(
+                        self._ship_ref_chunk(chunks[ci + 1]))
+                collect(pend, row, len(chunks[ci]))
+                row += len(chunks[ci])
+                pend = nxt_pend
         else:
-            run_chunk(self._refs, 0, self._R)
+            collect(dispatch(self._refs), 0, self._R)
 
         key = "ani_median" if self._median else \
             "ani_robust" if self._robust else "ani_mean"

@@ -141,8 +141,14 @@ def test_giant_contig_fallback_memory():
     store where no fallback is needed."""
     rng = np.random.default_rng(23)
     base = random_genome(rng, 600_000)        # single 600 kb contig
-    frag_base = random_genome(rng, 600_000)
-    draft = split_contigs(frag_base, 5000)    # forces C bucket 8192
+    # the draft is RELATED to the query so both genomes shortlist
+    # together: the packed cap is sized from the shortlist's contig
+    # buckets (an unrelated fragmented genome in the store must not
+    # force the fallback for anyone).  1 kb contigs chain normally; the
+    # random filler contigs push the count over 4096 -> bucket 8192.
+    draft = split_contigs(mutate(rng, base, 0.04), 600) + \
+        [random_genome(rng, 1000) for _ in range(3500)]
+    assert contig_budget_for(len(draft)) == 8192
 
     # store WITHOUT the fragmented genome: cap is huge, block path runs
     db0 = pyskani_tpu.Database()
@@ -151,15 +157,17 @@ def test_giant_contig_fallback_memory():
     ref_hits = {h.reference_name: h for h in db0.query("q", q)}
     assert "giant" in ref_hits
 
-    # store WITH it: C bucket 8192 -> rcid_bits 13 -> cap 2^19 bp, so the
-    # 600 kb contig of "giant" must take the fallback path
+    # store WITH it: shortlist = {giant, draft} -> C bucket 8192 ->
+    # rcid_bits 13 -> cap 2^19 bp, so the 600 kb contig of "giant" must
+    # take the full-range per-pair fallback while "draft" chains on the
+    # block path
     db = pyskani_tpu.Database()
     db.sketch("giant", base)
     db.sketch("draft", *draft)
-    cap = 1 << (32 - rcid_bits_for(contig_budget_for(5000)))
+    cap = 1 << (32 - rcid_bits_for(8192))
     assert len(base) >= cap
     hits = {h.reference_name: h for h in db.query("q", q)}
-    assert "giant" in hits
+    assert "giant" in hits and "draft" in hits
     h0, h1 = ref_hits["giant"], hits["giant"]
     assert abs(h0.identity - h1.identity) < 1e-6
     assert abs(h0.query_fraction - h1.query_fraction) < 1e-6
@@ -182,3 +190,45 @@ def test_total_len_uint32_roundtrip(tmp_path):
     assert host.total_len == big_total
     rt, _ = sketch_from_bytes(sketch_to_bytes(host, SketchParams()))
     assert int(np.asarray(rt.device.total_len)) == big_total
+
+
+def test_triangle_mixed_draft_and_giant():
+    """All-vs-all triangle over a store mixing a fragmented draft (which
+    shrinks the packed position cap) with an ordinary complete genome
+    whose contig exceeds that cap: pairs touching the giant genome are
+    rerouted through the full-range per-pair pipeline instead of
+    erroring (code-review r4 finding #4)."""
+    from pyskani_tpu.engine.batch import (take_sketch, triangle,
+                                          stack_sketches)
+    from pyskani_tpu.ops.chain import chain_pair
+    from pyskani_tpu.oracle.chain import ChainConfig
+    from pyskani_tpu.ops.sketch import sketch_genome_device
+
+    rng = np.random.default_rng(31)
+    base = random_genome(rng, 1_200_000)
+    params = SketchParams()
+    genomes = [
+        ("giant", [base]),                              # 1.2 Mbp contig
+        ("draft", split_contigs(mutate(rng, base[:315_000], 0.02), 2100)),
+        ("small", [mutate(rng, base[:800_000], 0.01)]),
+    ]
+    sketches = [sketch_genome_device(nm, c, params) for nm, c in genomes]
+    # the draft forces contig bucket 4096 -> rcid_bits 12 -> cap 2^20,
+    # which the giant contig exceeds while "small" and the draft fit
+    assert contig_budget_for(2100) == 4096
+    assert len(base) >= (1 << 20) > 800_000
+
+    cfg = ChainConfig()
+    ri, qi, out = triangle(sketches, cfg)
+    assert len(ri) == 3
+    batch = stack_sketches(sketches)
+    from pyskani_tpu.engine.batch import default_budgets
+    budgets = default_budgets(sketches, batch, cfg)
+    for p in range(3):
+        single = chain_pair(take_sketch(batch, int(ri[p])),
+                            take_sketch(batch, int(qi[p])),
+                            cfg=cfg, budgets=budgets)
+        for key in ("ani_mean", "af_query", "af_ref"):
+            np.testing.assert_allclose(
+                np.asarray(out[key])[p], np.asarray(single[key]),
+                rtol=0, atol=1e-6, err_msg=f"{key} pair {p}")
