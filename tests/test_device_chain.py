@@ -104,3 +104,49 @@ def test_searchsorted_rows_matches_numpy():
     out = np.asarray(_searchsorted_rows(
         empty, jnp.asarray(rows), jnp.asarray(vals)))
     assert np.array_equal(out, np.zeros(N, np.int32))
+
+
+def test_pallas_dp_matches_scan():
+    """The TPU Pallas DP kernel (interpret mode) must equal the XLA
+    lax.scan fallback bit-for-bit — the kernel otherwise only runs on
+    real TPU hardware, outside this CPU suite."""
+    from pyskani_tpu.ops.chain import (_dp_grid_from_words, _dp_scan,
+                                       _pack_grid_words)
+    from pyskani_tpu.ops.chain_dp_pallas import dp_pallas
+
+    rng = np.random.default_rng(99)
+    NF, PF, rbits = 24, 64, 3
+    cfg = ChainConfig(chain_band=25)
+    # random near-diagonal anchors with mixed contigs/orientations and
+    # ragged per-row fill, rows sorted by (rcid, rpos) like the engine
+    qpos = np.zeros((NF, PF), np.int32)
+    rpos = np.zeros((NF, PF), np.int32)
+    rcid = np.zeros((NF, PF), np.int32)
+    rev = np.zeros((NF, PF), bool)
+    ok = np.zeros((NF, PF), bool)
+    for r in range(NF):
+        k = int(rng.integers(0, PF + 1))
+        rp = np.sort(rng.integers(0, 1 << 14, k))
+        qp = np.clip(rp + rng.integers(-2000, 2000, k), 0, (1 << 14) - 1)
+        cid = np.sort(rng.integers(0, 6, k))
+        order = np.lexsort((rp, cid))
+        rpos[r, :k] = rp[order]
+        qpos[r, :k] = qp[order]
+        rcid[r, :k] = cid[order]
+        rev[r, :k] = rng.random(k) < 0.3
+        ok[r, :k] = True
+    w1, w2 = _pack_grid_words(jnp.asarray(qpos), jnp.asarray(rpos),
+                              jnp.asarray(rcid), jnp.asarray(rev),
+                              jnp.asarray(ok), rbits)
+    grid = _dp_grid_from_words(w1, w2, rbits)
+    budgets = EngineBudgets(max_fragments=NF, max_anchors_per_fragment=PF)
+    s_scan, r_scan = _dp_scan(
+        dict(qpos=grid["qpos"], rpos=grid["rpos"],
+             qcid=jnp.zeros((NF, PF), jnp.int32),
+             rcid=jnp.asarray(np.where(ok, rcid, 0x7FFFFFFF)),
+             rev=jnp.asarray(rev), valid=jnp.asarray(ok)), cfg, budgets)
+    s_pal, r_pal = dp_pallas(grid["qpos"].T, grid["rpos"].T,
+                             grid["meta"].T, cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(s_pal.T), np.asarray(s_scan),
+                               rtol=0, atol=0)
+    np.testing.assert_array_equal(np.asarray(r_pal.T), np.asarray(r_scan))
