@@ -222,6 +222,11 @@ def sharded_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
 
     Returns (ref_idx, query_idx, dict of [P] numpy arrays) over the
     strict upper triangle, in triu order.
+
+    Note: genomes with contigs beyond the packed block-grid range
+    (>= 2^(32-rcid_bits) bp) raise loudly here via check_overflow —
+    the automatic per-pair reroute exists on the single-device
+    ``engine.batch.triangle`` and ``Database.query`` paths only.
     """
     from ..ops.sketch import round_up
 
