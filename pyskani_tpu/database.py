@@ -82,6 +82,34 @@ def _chain_cfg_for(params: SketchParams) -> ChainConfig:
                                extend_right=params.k - 1)
 
 
+def _partition_blockable(by_name, shortlist):
+    """Split a shortlist into (block_names, fb_names, cb, cap).
+
+    ``block_names`` chain on the packed block pipeline whose contig
+    bucket ``cb`` (max over block members) gives the position cap
+    ``2^(32-rcid_bits)``; ``fb_names`` exceed the cap and reroute
+    through the full-range per-pair pipeline.  Iterated to a fixed
+    point: a genome that itself falls back must not shrink the cap for
+    the remaining block-path references (its bucket leaves ``cb`` once
+    it is excluded, which can only GROW the cap, so the loop converges).
+    """
+    from .ops.chain import rcid_bits_for
+    from .ops.sketch import contig_budget_for
+
+    block = list(shortlist)
+    while True:
+        cb = max((contig_budget_for(len(by_name[rn].contig_lengths))
+                  for rn in block), default=8)
+        cap = 1 << (32 - rcid_bits_for(cb))
+        viol = {rn for rn in block
+                if max(by_name[rn].contig_lengths, default=0) >= cap}
+        if not viol:
+            break
+        block = [rn for rn in block if rn not in viol]
+    blocked = set(block)
+    return block, [rn for rn in shortlist if rn not in blocked], cb, cap
+
+
 def _pow2_chunk(n: int, cap: int = 16) -> int:
     """Bucket a chunk size to a power of two so jit shapes are stable
     across queries with different shortlist lengths."""
@@ -379,8 +407,6 @@ class Database:
         from .engine.batch import (check_overflow, one_vs_many,
                                    one_vs_many_pairs, repad_sketch,
                                    stack_sketches)
-        from .ops.chain import rcid_bits_for
-        from .ops.sketch import contig_budget_for
 
         cfg = self._chain_cfg
         if est_ci:
@@ -409,23 +435,15 @@ class Database:
             import dataclasses as _dc
 
             names_all, stack, bucket, mbucket = self._ref_stack()
-            # packed-range cap from the SHORTLIST's own contig buckets:
-            # one fragmented genome elsewhere in the store must not
-            # shrink the packed position range (and force the slow
-            # per-pair fallback) for every ordinary reference.  The
-            # stacked contig axis is sliced down to the shortlist bucket
-            # for the block call — every shortlisted genome's contigs
-            # fit it by construction.
-            cb = max((contig_budget_for(len(by_name[rn].contig_lengths))
-                      for rn in shortlist), default=8)
-            cb = min(cb, stack.contig_lengths.shape[1])
-            cap = 1 << (32 - rcid_bits_for(cb))
-            block_names = [rn for rn in shortlist
-                           if max(by_name[rn].contig_lengths,
-                                  default=0) < cap]
-            fb_names = [rn for rn in shortlist
-                        if max(by_name[rn].contig_lengths,
-                               default=0) >= cap]
+            # packed-range cap from the BLOCK PARTITION's own contig
+            # buckets (fixed point): neither a fragmented genome
+            # elsewhere in the store nor one that itself falls back may
+            # shrink the packed position range for the ordinary
+            # references.  The stacked contig axis is sliced down to the
+            # partition bucket for the block call — every block-routed
+            # genome's contigs fit it by construction.
+            block_names, fb_names, cb, cap = _partition_blockable(
+                by_name, shortlist)
             stack_block = stack if cb == stack.contig_lengths.shape[1] \
                 else _dc.replace(stack,
                                  contig_lengths=stack.contig_lengths[:, :cb])
@@ -466,15 +484,8 @@ class Database:
                          query.device.seed_budget)
             mbucket = max(marker_budget_for(tl, self._params.marker_c),
                           query.device.marker_budget)
-            cb = max((contig_budget_for(len(by_name[rn].contig_lengths))
-                      for rn in shortlist), default=8)
-            cap = 1 << (32 - rcid_bits_for(cb))
-            block_names = [rn for rn in shortlist
-                           if max(by_name[rn].contig_lengths,
-                                  default=0) < cap]
-            fb_names = [rn for rn in shortlist
-                        if max(by_name[rn].contig_lengths,
-                               default=0) >= cap]
+            block_names, fb_names, cb, cap = _partition_blockable(
+                by_name, shortlist)
             qpad = repad_sketch(query, bucket, mbucket)
             with profiling.scope("chain"):
                 if block_names:

@@ -283,16 +283,16 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
                 len(gidx) * (len(gidx) - 1) // 2 * app, 8192))
         tri_r, tri_q = np.triu_indices(len(gidx), k=1)
         pending.append((gidx[tri_r], gidx[tri_q], out))
-    if giant:
+    fb_pairs = [(i, j) for i in range(n) for j in range(i + 1, n)
+                if i in giant or j in giant]
+    if fb_pairs:
         # pairs touching a giant genome: full-range per-pair pipeline,
         # canonical orientation (ref = smaller index)
-        ri_f, qi_f = zip(*[(i, j) for i in range(n)
-                           for j in range(i + 1, n)
-                           if i in giant or j in giant])
-        out = pairs_ani(batch, jnp.asarray(np.array(ri_f, np.int32)),
-                        jnp.asarray(np.array(qi_f, np.int32)),
+        ri_f = np.array([p[0] for p in fb_pairs], np.int32)
+        qi_f = np.array([p[1] for p in fb_pairs], np.int32)
+        out = pairs_ani(batch, jnp.asarray(ri_f), jnp.asarray(qi_f),
                         cfg=cfg, budgets=budgets, chunk=4)
-        pending.append((np.array(ri_f), np.array(qi_f), out))
+        pending.append((ri_f, qi_f, out))
     for a in starts:                        # cross-group rectangles
         ridx_g = pk[a:a + group]
         for b in starts:

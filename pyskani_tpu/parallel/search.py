@@ -151,12 +151,13 @@ class ShardedDatabaseSearch:
         qg = self._qg
         items = list(named_queries)
 
-        # sketch + stack every query group up front, HOST-resident
+        # sketch, stack and mesh-place every query group up front
         # (queries are the small side; the ref store streams in the
         # outer loop below so each ref chunk is deserialised ONCE for
-        # all query groups).  Device placement happens per dispatch so
-        # query-side device memory stays one group at a time.
-        qgroups = []   # (group items, host query stack)
+        # all query groups).  Query-side device memory therefore scales
+        # with THIS CALL's query count — stream very large query
+        # workloads through multiple query_many calls.
+        qgroups = []   # (group items, sharded query stack)
         for lo in range(0, len(items), qg):
             group = items[lo:lo + qg]
             n = len(group)
@@ -178,7 +179,8 @@ class ShardedDatabaseSearch:
                 qstack = jax.tree.map(
                     lambda x: np.concatenate([x] + [x[:1]] * (qg - n)),
                     qstack)
-            qgroups.append((group, qstack))
+            qgroups.append((group, shard_leading(self._mesh, qstack,
+                                                 "batch")))
 
         keys = ("ani_mean", "ani_robust", "ani_median", "af_query",
                 "af_ref", "screen_pass")
@@ -188,9 +190,7 @@ class ShardedDatabaseSearch:
         def dispatch(refs_c):
             # async: dispatch every query group's step before anything
             # blocks, so device compute overlaps host work
-            return [self._step(refs_c,
-                               shard_leading(self._mesh, qstack, "batch"))
-                    for _, qstack in qgroups]
+            return [self._step(refs_c, qsh) for _, qsh in qgroups]
 
         def collect(pend, row_lo: int, n_rows: int):
             fetched = jax.device_get([{k: o[k] for k in keys}

@@ -6,7 +6,7 @@ HLO (recipe from the r3 axon notes).  Run on the real TPU.
 """
 
 import functools, sys, time, glob, gzip, json, os
-sys.path.insert(0, '/root/repo')
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from pyskani_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()

@@ -232,3 +232,20 @@ def test_triangle_mixed_draft_and_giant():
             np.testing.assert_allclose(
                 np.asarray(out[key])[p], np.asarray(single[key]),
                 rtol=0, atol=1e-6, err_msg=f"{key} pair {p}")
+
+
+def test_triangle_single_giant_genome():
+    """Degenerate input: a lone genome whose contig exceeds the packed
+    cap must return an empty triangle, not crash (r4 review #2
+    finding)."""
+    from pyskani_tpu.engine.batch import triangle
+    from pyskani_tpu.ops.sketch import sketch_genome_device
+
+    rng = np.random.default_rng(5)
+    contigs = split_contigs(random_genome(rng, 300_000), 2100)
+    contigs[0] = random_genome(rng, 4000)
+    sk = sketch_genome_device("only", contigs, SketchParams())
+    # force the giant classification by monkeying a huge contig length
+    sk.lengths[0] = 1 << 21
+    ri, qi, out = triangle([sk])
+    assert len(ri) == 0
