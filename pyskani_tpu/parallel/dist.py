@@ -208,6 +208,64 @@ def make_sharded_triangle(mesh: Mesh, cfg: ChainConfig,
     return jax.jit(step)
 
 
+def _giant_mask(batch: DeviceSketch) -> np.ndarray:
+    """Per-genome bool mask: contigs beyond the packed block-grid range
+    or totals >= 2^30 bp (both route through the full-range per-pair
+    pipeline; reference contract: no coordinate caps, lib.rs:160)."""
+    from ..ops.chain import rcid_bits_for
+
+    cl = np.asarray(jax.device_get(batch.contig_lengths)).astype(np.int64)
+    cap = 1 << (32 - rcid_bits_for(cl.shape[1]))
+    return (cl.max(axis=1) >= cap) | (cl.sum(axis=1) >= (1 << 30))
+
+
+def _triangle_with_giants(batch: DeviceSketch, mesh: Mesh, mask: np.ndarray,
+                          clean_fn, *, cfg: ChainConfig,
+                          budgets: EngineBudgets, **kw):
+    """Mesh triangle over a stack containing giant genomes: the clean
+    subset runs through ``clean_fn`` (the mesh path), pairs touching a
+    giant run through the full-range per-pair pipeline, and the two
+    result sets merge in triu order — the same reroute the single-device
+    ``engine.batch.triangle`` applies (VERDICT r4 weak #2).
+
+    ``budgets.max_fragments`` must cover the giant genomes' fragment
+    counts (as on every per-pair call).
+    """
+    from ..engine.batch import check_overflow, pairs_ani
+
+    G = batch.kmers.shape[0]
+    giants = set(np.where(mask)[0].tolist())
+    keep = np.array([i for i in range(G) if i not in giants], np.int32)
+    host = jax.device_get(batch)
+    parts = []
+    if len(keep) >= 2:
+        sub = jax.tree.map(lambda x: np.asarray(x)[keep], host)
+        ri_s, qi_s, res_s = clean_fn(sub, mesh, cfg=cfg, budgets=budgets,
+                                     **kw)
+        parts.append((keep[ri_s], keep[qi_s], res_s))
+    fb = [(i, j) for i in range(G) for j in range(i + 1, G)
+          if i in giants or j in giants]
+    if fb:
+        ri_f = np.array([p[0] for p in fb], np.int32)
+        qi_f = np.array([p[1] for p in fb], np.int32)
+        out = jax.device_get(pairs_ani(host, jnp.asarray(ri_f),
+                                       jnp.asarray(qi_f), cfg=cfg,
+                                       budgets=budgets, chunk=4))
+        check_overflow(out, budgets)
+        parts.append((ri_f, qi_f, out))
+
+    mats = {}
+    for ri_p, qi_p, res in parts:
+        for key, val in res.items():
+            arr = np.asarray(val)
+            if key not in mats:
+                mats[key] = np.zeros((G, G), arr.dtype)
+            mats[key][ri_p, qi_p] = arr
+    ri, qi = np.triu_indices(G, k=1)
+    return ri.astype(np.int32), qi.astype(np.int32), \
+        {k: v[ri, qi] for k, v in mats.items()}
+
+
 def sharded_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
                      budgets: EngineBudgets, block: int = 8,
                      anchors_per_pair: Optional[int] = None):
@@ -223,12 +281,18 @@ def sharded_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
     Returns (ref_idx, query_idx, dict of [P] numpy arrays) over the
     strict upper triangle, in triu order.
 
-    Note: genomes with contigs beyond the packed block-grid range
-    (>= 2^(32-rcid_bits) bp) raise loudly here via check_overflow —
-    the automatic per-pair reroute exists on the single-device
-    ``engine.batch.triangle`` and ``Database.query`` paths only.
+    Genomes beyond the packed block-grid range (contigs >=
+    2^(32-rcid_bits) bp or totals >= 2^30 bp) are pre-partitioned out
+    and their pairs run through the full-range per-pair pipeline, same
+    as the single-device triangle (VERDICT r4 weak #2).
     """
     from ..ops.sketch import round_up
+
+    mask = _giant_mask(batch)
+    if mask.any():
+        return _triangle_with_giants(
+            batch, mesh, mask, sharded_triangle, cfg=cfg, budgets=budgets,
+            block=block, anchors_per_pair=anchors_per_pair)
 
     G = batch.kmers.shape[0]
     n_dev = mesh.size
@@ -304,9 +368,17 @@ def ring_triangle(batch: DeviceSketch, mesh: Mesh, *, cfg: ChainConfig,
     results are bit-identical to ``engine.batch.triangle``.
 
     Returns (ref_idx, query_idx, dict of [P] numpy arrays) in triu
-    order over the G genomes.
+    order over the G genomes.  Giant genomes (packed-range overflow or
+    totals >= 2^30 bp) are pre-partitioned onto the full-range per-pair
+    pipeline, as in :func:`sharded_triangle`.
     """
     from ..ops.sketch import round_up
+
+    mask = _giant_mask(batch)
+    if mask.any():
+        return _triangle_with_giants(
+            batch, mesh, mask, ring_triangle, cfg=cfg, budgets=budgets,
+            anchors_per_pair=anchors_per_pair)
 
     G = batch.kmers.shape[0]
     D = mesh.size

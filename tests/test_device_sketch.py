@@ -94,3 +94,34 @@ def test_batched_sketch_matches_single():
         assert int(got.device.n_markers) == m
         np.testing.assert_array_equal(np.asarray(got.device.markers_lo[:m]),
                                       np.asarray(want.device.markers_lo[:m]))
+
+
+def test_sketch_many_groups_by_size():
+    """Mixed-size batches stack near-homogeneous groups (VERDICT r4 weak
+    #6): a large genome must not inflate the small genomes' padded
+    budgets, and input order is restored on return."""
+    from pyskani_tpu.ops.sketch import (seed_budget_for,
+                                        sketch_genomes_device)
+
+    rng = np.random.default_rng(9)
+    genomes = [
+        ("big0", [random_genome(rng, 2_300_000)]),
+        ("small0", [random_genome(rng, 120_000)]),
+        ("big1", [random_genome(rng, 2_200_000)]),
+        ("small1", [random_genome(rng, 130_000)]),
+    ]
+    params = SketchParams()
+    out = sketch_genomes_device(genomes, params, device_batch=2)
+    assert [s.name for s in out] == [n for n, _ in genomes]
+    by_name = {s.name: s for s in out}
+    # the smalls grouped together: their budgets are sized from the
+    # larger SMALL genome, far below the big genomes' budgets
+    assert by_name["small0"].device.seed_budget == \
+        by_name["small1"].device.seed_budget
+    assert by_name["small0"].device.seed_budget <= \
+        seed_budget_for(130_000, params.c)
+    assert by_name["big0"].device.seed_budget >= \
+        seed_budget_for(2_200_000, params.c)
+    # and the padded sequence length followed suit: budgets imply it
+    assert by_name["small0"].device.seed_budget < \
+        by_name["big0"].device.seed_budget // 4
