@@ -52,7 +52,8 @@ def make_genomes(n, length, seed=0):
     return out
 
 
-def make_batch_on_device(n, length, params, device_batch=8, seed=0):
+def make_batch_on_device(n, length, params, device_batch=8, seed=0,
+                         n_related=None):
     """Generate the ~99%-ANI genome family ON DEVICE, sketch it there,
     and return the stacked DeviceSketch batch — zero sequence uploads.
 
@@ -63,7 +64,13 @@ def make_batch_on_device(n, length, params, device_batch=8, seed=0):
     as :func:`make_genomes` (one random base + ~1% substitutions per
     genome), so the workload is unchanged.
 
-    Returns (batch DeviceSketch [n, ...], sketch_seconds_per_stack_fn).
+    ``n_related`` (default: all) makes only the first stacks related to
+    the base; the remaining genomes are fresh random sequence (the
+    BENCH mixed-family workload — unrelated pairs are screened out).
+    Must be a multiple of ``device_batch``.
+
+    Returns (batch DeviceSketch [n, ...],
+             sketch_seconds_per_stack_fn, kernel_rate_fn).
     """
     import functools
 
@@ -89,8 +96,14 @@ def make_batch_on_device(n, length, params, device_batch=8, seed=0):
         c=params.c, marker_c=params.marker_c,
         seed_budget=sb, marker_budget=mb)
 
-    @jax.jit
-    def sketch_stack(base_key, stack_key):
+    def _pack(codes):
+        codes = jnp.pad(codes, ((0, 0), (0, L - length)))
+        q = codes.reshape(device_batch, L // 4, 4)
+        return (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) |
+                (q[..., 3] << 6)).astype(jnp.uint8)
+
+    @functools.partial(jax.jit, static_argnames=("related",))
+    def gen_packed(base_key, stack_key, related=True):
         base = jax.random.randint(base_key, (length,), 0, 4,
                                   dtype=jnp.uint8)
 
@@ -101,17 +114,31 @@ def make_batch_on_device(n, length, params, device_batch=8, seed=0):
                                       dtype=jnp.uint8)
             return base.at[idx].set(vals)
 
-        codes = jax.vmap(mut)(jax.random.split(stack_key, device_batch))
-        codes = jnp.pad(codes, ((0, 0), (0, L - length)))
-        q = codes.reshape(device_batch, L // 4, 4)
-        packed = (q[..., 0] | (q[..., 1] << 2) | (q[..., 2] << 4) |
-                  (q[..., 3] << 6)).astype(jnp.uint8)
+        def fresh(k):
+            return jax.random.randint(k, (length,), 0, 4, dtype=jnp.uint8)
+
+        codes = jax.vmap(mut if related else fresh)(
+            jax.random.split(stack_key, device_batch))
+        return _pack(codes)
+
+    @jax.jit
+    def kernel_only(packed):
         return jax.vmap(kern)(packed, starts_d, ncon)
+
+    @jax.jit
+    def sketch_stack(base_key, stack_key):
+        return jax.vmap(kern)(gen_packed(base_key, stack_key), starts_d,
+                              ncon)
 
     base_key = jax.random.PRNGKey(seed)
     keys = jax.random.split(jax.random.PRNGKey(seed + 1),
                             -(-n // device_batch))
-    outs = [sketch_stack(base_key, k) for k in keys]
+    if n_related is None:
+        n_related = n
+    rel_stacks = n_related // device_batch
+    outs = [sketch_stack(base_key, k) if i < rel_stacks else
+            kernel_only(gen_packed(base_key, k, related=False))
+            for i, k in enumerate(keys)]
     res = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *outs)
     batch = DeviceSketch(
         kmers=res["kmers"], positions=res["positions"],
@@ -130,7 +157,20 @@ def make_batch_on_device(n, length, params, device_batch=8, seed=0):
         jax.device_get(out["n_seeds"])
         return device_batch * length
 
-    return batch, resketch_one_stack
+    def kernel_rate(reps: int = 8):
+        """Steady-state PIPELINED sketch-kernel throughput (Mbp/s):
+        pre-generated packed codes, ``reps`` kernel dispatches in
+        flight, one fetch — genome generation and the tunnel round trip
+        amortise away, so this measures the kernel's device rate (the
+        throughput limit when many stacks stream through)."""
+        packed = gen_packed(base_key, keys[0])
+        jax.device_get(kernel_only(packed)["n_seeds"])  # warm + drain
+        t0 = time.time()
+        outs = [kernel_only(packed) for _ in range(reps)]
+        jax.device_get([o["n_seeds"] for o in outs])
+        return device_batch * length * reps / (time.time() - t0) / 1e6
+
+    return batch, resketch_one_stack, kernel_rate
 
 
 def main():
@@ -151,7 +191,8 @@ def main():
     # --- sketching (device-generated family; dispatched ASYNC so the
     # chain-program compiles below overlap the device-side sketch work) ---
     t0 = time.time()
-    batch, resketch = make_batch_on_device(N_GENOMES, GENOME_LEN, params)
+    batch, resketch, kernel_rate = make_batch_on_device(
+        N_GENOMES, GENOME_LEN, params)
 
     cfg = ChainConfig()
     nf = round_up(-(-GENOME_LEN // cfg.fragment_length) + 2, 128)
@@ -188,6 +229,7 @@ def main():
         bases = resketch()
         times.append(time.time() - t0)
     sketch_mbps = bases / min(times) / 1e6
+    sketch_kernel_mbps = kernel_rate()
 
     t0 = time.time()
     out = run(check=True)  # first full run + overflow asserts
@@ -205,7 +247,20 @@ def main():
         f"device={dev} mode={MODE} genomes={N_GENOMES}x{GENOME_LEN/1e6:.1f}"
         f"Mbp pairs={n_pairs} tiles={n_dispatch} first={t_first:.1f}s "
         f"steady={t_steady:.2f}s sketch={sketch_mbps:.1f}Mbp/s "
+        f"sketch_kernel={sketch_kernel_mbps:.1f}Mbp/s "
         f"sketch_all={t_sketch_all:.1f}s mean_ani={mean_ani:.4f}\n")
+
+    # --- mixed-family variant: half the genomes unrelated, so the
+    # marker screen's compute saving is exercised end-to-end (screen ->
+    # shortlist -> chain; the homogeneous family passes every pair so
+    # the screen never pays for itself there) ---
+    mixed = {}
+    if os.environ.get("BENCH_MIXED", "1") != "0" and MODE == "block":
+        mixed = run_mixed_family(params, cfg, budgets, app)
+        sys.stderr.write(
+            f"mixed: {mixed['mixed_pairs_per_s']} pairs/s, screened_out="
+            f"{mixed['mixed_screened_out']} mean_kin_ani="
+            f"{mixed.pop('_mean_kin_ani'):.4f}\n")
 
     print(json.dumps({
         "metric": (f"genome-pairs/s per chip (all-vs-all ANI, "
@@ -213,10 +268,100 @@ def main():
         "value": round(pairs_per_s, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_s / SINGLE_CORE_SKANI_PAIRS_PER_S, 2),
-        # BASELINE.md's second north-star metric (VERDICT r3 #3)
+        # BASELINE.md's second north-star metric (VERDICT r3 #3).
+        # sketch_mbps = end-to-end one-stack rate (incl. on-device genome
+        # generation + round trip); sketch_kernel_mbps = pipelined
+        # kernel-only device rate (VERDICT r4 next-step #4)
         "sketch_mbps": round(sketch_mbps, 1),
+        "sketch_kernel_mbps": round(sketch_kernel_mbps, 1),
         "sketch_all_s": round(t_sketch_all, 1),
+        **mixed,
     }))
+
+
+def run_mixed_family(params, cfg, budgets, app):
+    """Screen-gated all-vs-all over a half-related family (VERDICT r4
+    weak #5): marker-screen all pairs on device, then chain ONLY the
+    tiles containing a passing pair — the reference's search semantics
+    (lib.rs:616-657) at bench scale.  Reuses the homogeneous run's tile
+    program shapes (one compile).  Reported pairs/s covers ALL
+    N*(N-1)/2 pairs: screened-out pairs are decided by the screen, so
+    they count toward throughput exactly as in `skani search`."""
+    import jax
+    import jax.numpy as jnp
+
+    from pyskani_tpu.engine.batch import take_sketch
+    from pyskani_tpu.ops.chain import chain_block, chain_triangle, triu_pairs
+    from pyskani_tpu.ops.screen import screen_batch
+    from pyskani_tpu.ops.sketch import round_up
+    from pyskani_tpu.params import SEARCH_ANI_CUTOFF_DEFAULT
+
+    N = N_GENOMES
+    n_kin = (N // 2) // 8 * 8 or 8
+    batch, _, _ = make_batch_on_device(N, GENOME_LEN, params, seed=11,
+                                       n_related=n_kin)
+
+    @jax.jit
+    def screen_all(b):
+        return jax.vmap(
+            lambda qh, ql, qn: screen_batch(
+                qh, ql, qn, b.markers_hi, b.markers_lo, b.n_markers,
+                SEARCH_ANI_CUTOFF_DEFAULT,
+                marker_k=params.marker_k, rescue_small=True)[0]
+        )(b.markers_hi, b.markers_lo, b.n_markers)   # [query, ref]
+
+    total = round_up(BLOCK * BLOCK * app, 8192)
+    tri_total = round_up(BLOCK * (BLOCK - 1) // 2 * app, 8192)
+    passes = np.asarray(jax.device_get(screen_all(batch)))  # warm + result
+
+    def run():
+        t0 = time.time()
+        P = np.asarray(jax.device_get(screen_all(batch)))
+        starts = list(range(0, N, BLOCK))
+        pend = []
+        chained = 0
+        for a in starts:
+            gidx = np.arange(a, min(a + BLOCK, N))
+            tr, tq = triu_pairs(len(gidx))
+            if len(gidx) >= 2 and P[gidx[tq], gidx[tr]].any():
+                out = chain_triangle(
+                    take_sketch(batch, jnp.asarray(gidx)), cfg=cfg,
+                    budgets=budgets, total_anchors=tri_total)
+                pend.append((gidx[tr], gidx[tq], out["ani_mean"]))
+                chained += len(tr)
+            for b in starts:
+                if b <= a:
+                    continue
+                qidx = np.arange(b, min(b + BLOCK, N))
+                if not P[np.ix_(qidx, gidx)].any():
+                    continue
+                out = chain_block(take_sketch(batch, jnp.asarray(gidx)),
+                                  take_sketch(batch, jnp.asarray(qidx)),
+                                  cfg=cfg, budgets=budgets,
+                                  total_anchors=total)
+                rr, qq = np.meshgrid(gidx, qidx, indexing="ij")
+                pend.append((rr.reshape(-1), qq.reshape(-1),
+                             out["ani_mean"].reshape(-1)))
+                chained += rr.size
+        ani = np.zeros((N, N), np.float32)
+        for rr, qq, vals in pend:
+            ani[rr, qq] = np.asarray(jax.device_get(vals))
+        return time.time() - t0, ani, chained
+
+    run()                       # compile anything not yet cached
+    t, ani, chained = run()     # steady state
+    ri, qi = np.triu_indices(N, k=1)
+    n_pairs = len(ri)
+    pass_tri = passes[qi, ri]
+    kin_mask = (ri < n_kin) & (qi < n_kin)
+    mean_kin = float(ani[ri[kin_mask], qi[kin_mask]].mean())
+    assert mean_kin > 0.9, f"mixed kin pairs did not chain: {mean_kin}"
+    return {
+        "mixed_pairs_per_s": round(n_pairs / t, 2),
+        "mixed_screened_out": round(1.0 - pass_tri.mean(), 3),
+        "mixed_tiles_chained_pairs": int(chained),
+        "_mean_kin_ani": mean_kin,
+    }
 
 
 def build_block_runner(batch, cfg, budgets, app):

@@ -175,17 +175,55 @@ def _windows_generic(codes: jax.Array, k: int):
     return acc_f, acc_r
 
 
+_COMPACT_BLOCK = 8192
+
+
 def _compact_idx(mask: jax.Array, budget: int):
     """(count, src_indices [budget]) of the set positions of ``mask``,
     ascending; padding slots point at index 0 (callers mask by count).
-    One single-operand u32 sort — see :func:`_compact`."""
+
+    Large masks compact HIERARCHICALLY: the mask is reshaped to
+    [L/B, B] blocks, each ROW is index-sorted independently (one XLA
+    sort along the minor axis — log^2(B) compare stages instead of
+    log^2(L), vectorized across rows), and the per-block survivors are
+    stitched into the global ascending stream with budget-scale
+    arithmetic (block offsets by cumsum; slot -> block via the
+    scatter+cummax inversion; payload via one [budget] gather).  The
+    genome-length single sort this replaces was the top cost of the
+    whole sketch kernel (29.2 of 68.9 ms per 8 x 2.3 Mbp stack on v5e,
+    scripts/profile_sketch.py).  Small inputs keep the single sort.
+    """
     L = mask.shape[0]
-    i = jax.lax.iota(jnp.uint32, L)
-    key = jnp.where(mask, i, jnp.uint32(0xFFFFFFFF))
-    key_s = jax.lax.sort(key, is_stable=False)[:budget]
-    valid = key_s != jnp.uint32(0xFFFFFFFF)
-    src = jnp.where(valid, key_s, jnp.uint32(0)).astype(jnp.int32)
-    count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), budget)
+    B = _COMPACT_BLOCK
+    if L < (1 << 18) or L % B:
+        i = jax.lax.iota(jnp.uint32, L)
+        key = jnp.where(mask, i, jnp.uint32(0xFFFFFFFF))
+        key_s = jax.lax.sort(key, is_stable=False)[:budget]
+        valid = key_s != jnp.uint32(0xFFFFFFFF)
+        src = jnp.where(valid, key_s, jnp.uint32(0)).astype(jnp.int32)
+        count = jnp.minimum(jnp.sum(mask, dtype=jnp.int32), budget)
+        return count, src
+
+    NB = L // B
+    m2 = mask.reshape(NB, B)
+    iota = jax.lax.broadcasted_iota(jnp.uint32, (NB, B), 1)
+    key = jnp.where(m2, iota, jnp.uint32(0xFFFFFFFF))
+    (key_s,) = jax.lax.sort((key,), dimension=1, is_stable=False,
+                            num_keys=1)
+    counts = jnp.sum(m2, axis=1, dtype=jnp.int32)          # [NB]
+    offs = jnp.cumsum(counts) - counts                     # exclusive
+    total = offs[-1] + counts[-1]
+    count = jnp.minimum(total, budget)
+
+    t = jnp.arange(budget, dtype=jnp.int32)
+    slot0 = jnp.where(counts > 0, jnp.minimum(offs, budget), budget)
+    blk_map = jnp.zeros(budget + 1, jnp.int32).at[slot0].max(
+        jnp.arange(NB, dtype=jnp.int32))
+    blk = jax.lax.cummax(blk_map[:budget])
+    j = t - offs[blk]
+    local = key_s.reshape(-1)[blk * B + jnp.clip(j, 0, B - 1)]
+    src = jnp.where(t < count,
+                    blk * B + local.astype(jnp.int32), 0)
     return count, src
 
 
@@ -206,10 +244,28 @@ def _compact(mask: jax.Array, budget: int, arrays: Sequence[jax.Array],
     """
     count, src = _compact_idx(mask, budget)
     valid = jnp.arange(budget) < count
+    # ONE stacked u32 gather: random-access cost on TPU is per resolved
+    # index (~9.5 ns), so W arrays gathered separately pay W index
+    # resolutions — bitcast everything through one [n, W] u32 matrix
+    # instead (measured: 4 separate budget-scale gathers were 7.2 ms of
+    # a 37.8 ms sketch stack)
+    cols = []
+    for arr in arrays:
+        if arr.dtype == jnp.int32:
+            cols.append(jax.lax.bitcast_convert_type(arr, jnp.uint32))
+        elif arr.dtype == jnp.bool_:
+            cols.append(arr.astype(jnp.uint32))
+        else:
+            cols.append(arr)
+    g = jnp.stack(cols, axis=1)[src]              # [budget, W]
     out = []
-    for arr, sent in zip(arrays, sentinels):
-        g = arr[src]
-        out.append(jnp.where(valid, g, jnp.asarray(sent, g.dtype)))
+    for w, (arr, sent) in enumerate(zip(arrays, sentinels)):
+        col = g[:, w]
+        if arr.dtype == jnp.int32:
+            col = jax.lax.bitcast_convert_type(col, jnp.int32)
+        elif arr.dtype == jnp.bool_:
+            col = col != 0
+        out.append(jnp.where(valid, col, jnp.asarray(sent, arr.dtype)))
     return (count, *out)
 
 
@@ -259,21 +315,19 @@ def sketch_kernel(
     codes = ((packed_codes[:, None] >>
               (jnp.arange(4, dtype=jnp.uint8) * 2)[None, :])
              & jnp.uint8(3)).reshape(L)
-    # contig id per position: +1 at every contig start, cumsum - 1;
-    # the terminal start (== total_len) pushes the padding region to id
-    # n_contigs, which the validity mask rejects.
-    bump = jnp.zeros(L + 1, jnp.int32).at[contig_starts].add(
-        jnp.where(jnp.arange(C + 1) <= n_contigs, 1, 0))
-    contig_id = jnp.cumsum(bump[:L]) - 1
     # in-contig position: i - (global start of my contig), via segmented
-    # cummax of scattered start values
+    # cummax of scattered start values.  Contigs are packed contiguously
+    # (padding only past the total), so per-position contig IDS need no
+    # L-scale array at all: the validity masks only need pos_in_contig
+    # and i < total, and survivors recover their contig by a budget-scale
+    # searchsorted over the (tiny) starts table below.
     ii = jnp.arange(L, dtype=jnp.int32)
     start_marks = jnp.zeros(L + 1, jnp.int32).at[contig_starts].max(
         jnp.where(jnp.arange(C + 1) <= n_contigs, contig_starts, 0))
     my_start = jax.lax.cummax(start_marks[:L])
     pos_in_contig = ii - my_start
-    valid_pos = contig_id < n_contigs
-    contig_id = jnp.where(valid_pos, contig_id, -1)
+    total_len = contig_starts[jnp.clip(n_contigs, 0, C)]
+    in_seq = ii < total_len
     if valid_floor is None:
         floor_ok = jnp.ones(L, bool)
     else:
@@ -315,26 +369,48 @@ def sketch_kernel(
         else:
             mfU, mrU = _windows_generic(codes, marker_k)
             mcanon = _canonical_u64(mfU, mrU)
-    valid_seed = (contig_id >= 0) & (pos_in_contig >= k - 1) & floor_ok
+    valid_seed = in_seq & (pos_in_contig >= k - 1) & floor_ok
     seed_mask = valid_seed & u64.lt(h, thr)
 
     mh = u64.mm_hash64(mcanon)
-    valid_marker = (contig_id >= 0) & (pos_in_contig >= marker_k - 1) & \
-        floor_ok
+    valid_marker = in_seq & (pos_in_contig >= marker_k - 1) & floor_ok
     marker_mask = valid_marker & u64.lt(mh, mthr)
 
-    # ---- ONE genome-length compaction for seeds AND markers ----
-    # the union mask is compacted with a single full-length index sort;
-    # the per-table splits then run at compacted (~L/117) scale.  Saves
-    # one multi-million-element sort per genome vs compacting each table
-    # from the full stream.  When the union prefix clips (possible once
-    # either table overflows its budget — a sizing failure; budgets
-    # carry 25-35% slack), the split counts below still reflect exactly
-    # what survived into each table.
+    # ---- ONE stacked survivor table + ONE genome-length compaction ----
+    # Everything a survivor needs rides ONE [L, 4] table (canonical
+    # k-mer, packed flags, marker k-mer hi/lo) so the whole expensive
+    # producer chain (windows, two u64 hashes, masks) is materialised
+    # EXACTLY ONCE and survivors cost one stacked gather — the r4 layout
+    # gathered 7 separate L-scale arrays, each re-materialising parts of
+    # the chain (~12 ms of the 65 ms stack device time,
+    # scripts/profile_sketch.py).  The union mask is compacted with the
+    # blocked index sort (_compact_idx); the per-table splits then run
+    # at compacted (~L/117) scale.  When the union prefix clips
+    # (possible once either table overflows its budget — a sizing
+    # failure; budgets carry 25-35% slack), the split counts below
+    # still reflect exactly what survived into each table.
+    meta = (marker_mask.astype(jnp.uint32) << 2) | \
+        (seed_mask.astype(jnp.uint32) << 1) | strand.astype(jnp.uint32)
+    S = jax.lax.optimization_barrier(
+        jnp.stack([canon, meta, mcanon.hi, mcanon.lo], axis=1))
     union_budget = seed_budget + marker_budget
-    n_union, u_src = _compact_idx(seed_mask | marker_mask, union_budget)
-    u_seed = seed_mask[u_src] & (jnp.arange(union_budget) < n_union)
-    u_marker = marker_mask[u_src] & (jnp.arange(union_budget) < n_union)
+    n_union, u_src = _compact_idx((S[:, 1] & 6) != 0, union_budget)
+    g = S[u_src]                                   # [union_budget, 4]
+    in_pref = jnp.arange(union_budget) < n_union
+    g_meta = g[:, 1]
+    u_seed = ((g_meta & 2) != 0) & in_pref
+    u_marker = ((g_meta & 4) != 0) & in_pref
+    # survivor contig id / in-contig position at budget scale: u_src IS
+    # the global position, contigs are contiguous.  The contig lookup is
+    # a compare-count over the tiny starts table — jnp.searchsorted
+    # lowers to a binary-search while_loop on TPU (measured 10.5 ms for
+    # 8x28k lookups vs ~0 for the [budget, C+1] compare reduction)
+    in_table = jnp.arange(C + 1) <= n_contigs
+    cid_u = jnp.clip(
+        jnp.sum((u_src[:, None] >= contig_starts[None, :]) &
+                in_table[None, :], axis=1, dtype=jnp.int32) - 1,
+        0, C - 1)
+    pos_u = u_src - contig_starts[cid_u]
 
     # n_seeds from _compact counts the seed rows ACTUALLY in the table
     # (min(sum(u_seed), seed_budget)) — under one-sided clipping, fewer
@@ -343,8 +419,7 @@ def sketch_kernel(
     # rows as seeds
     n_seeds, s_kmer, s_pos, s_cid, s_strand = _compact(
         u_seed, seed_budget,
-        (canon[u_src], pos_in_contig[u_src], contig_id[u_src],
-         strand[u_src]),
+        (g[:, 0], pos_u, cid_u, (g_meta & 1) != 0),
         (U32_SENTINEL, I32_SENTINEL, I32_SENTINEL, False),
     )
     s_kmer, s_cid, s_pos, s_strand = jax.lax.sort(
@@ -367,7 +442,7 @@ def sketch_kernel(
     # ---- compact markers, dedupe ----
     _, m_hi, m_lo = _compact(
         u_marker, marker_budget,
-        (mcanon.hi[u_src], mcanon.lo[u_src]),
+        (g[:, 2], g[:, 3]),
         (U32_SENTINEL, U32_SENTINEL),
     )
     m_hi, m_lo = jax.lax.sort((m_hi, m_lo), num_keys=2)
@@ -384,9 +459,14 @@ def sketch_kernel(
     # couples the two tables, so once EITHER mask outgrows its budget the
     # other may silently lose rows past the union prefix — report the
     # raw mask populations so callers can warn/raise instead of
-    # degrading screen/ANI estimates quietly
-    n_seeds_want = jnp.sum(seed_mask, dtype=jnp.int32)
-    n_markers_want = jnp.sum(marker_mask, dtype=jnp.int32)
+    # degrading screen/ANI estimates quietly.  Both counts reduce over
+    # the MATERIALISED flag plane of S (reducing the raw masks would
+    # re-derive the whole hash chain a second time).
+    flag_plane = S[:, 1]
+    n_seeds_want = jnp.sum((flag_plane >> 1) & 1, dtype=jnp.uint32
+                           ).astype(jnp.int32)
+    n_markers_want = jnp.sum((flag_plane >> 2) & 1, dtype=jnp.uint32
+                             ).astype(jnp.int32)
 
     return dict(
         n_seeds=n_seeds, kmers=s_kmer, positions=s_pos, contig_ids=s_cid,

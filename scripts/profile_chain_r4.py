@@ -31,7 +31,7 @@ from pyskani_tpu.params import SketchParams
 N = 16
 LEN = 2_300_000
 params = SketchParams()
-batch, _ = bench.make_batch_on_device(N, LEN, params)
+batch, _, _ = bench.make_batch_on_device(N, LEN, params)
 cfg = ChainConfig()
 nf = round_up(-(-LEN // cfg.fragment_length) + 2, 128)
 budgets = EngineBudgets(
