@@ -132,8 +132,12 @@ def _join_anchors(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
     # so a query entry's ref-run is [run_start, run_start + rc)
     r_excl = jnp.cumsum((~tag_q).astype(jnp.int32)) - (~tag_q).astype(jnp.int32)
     # ref entries before me within my run (= the whole ref run, since all
-    # ref entries of a run sort before its query entries)
-    rc = jnp.where(tag_q, r_excl - r_excl[run_start], 0).astype(jnp.int32)
+    # ref entries of a run sort before its query entries);
+    # r_excl[run_start] via cummax fill — r_excl is non-decreasing, so
+    # the running max of its run-start samples equals the gather
+    rc = jnp.where(
+        tag_q, r_excl - jax.lax.cummax(jnp.where(first, r_excl, 0)),
+        0).astype(jnp.int32)
     is_sent = kmer_s == jnp.uint32(0xFFFFFFFF)
     own_mult_q = query.own_mult[jnp.minimum(orig, Sq - 1)]
     ok = tag_q & (~is_sent) & (own_mult_q <= cfg.max_seed_multiplicity) & \
@@ -974,17 +978,31 @@ def _post_dp_block(refs: DeviceSketch, queries: DeviceSketch,
                               (P, CE))
     p_rows = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None],
                               (P, CE))
-    # last row of the pair whose kept-prefix is <= c holds chain c
-    row_sel = jnp.clip(
-        _searchsorted_rows(rb2, p_rows, ce_ids, side="right") - 1,
-        0, NF - 1)
+    # last row of the pair whose kept-prefix is <= c holds chain c:
+    # scatter each NON-EMPTY row's id at its kept-prefix offset and
+    # cummax-fill along the chain axis.  The binary-search formulation
+    # this replaces paid log2(NF) gathers per [P, CE] slot (8.3 ms of
+    # an 80 ms 8x8 tile); rows with no kept chains never own a slot, so
+    # the fill lands on the true owner for every c < the pair's total
+    # (and end_valid rejects the rest, exactly as the search did).
+    rows_nf = jnp.broadcast_to(jnp.arange(NF, dtype=jnp.int32)[None, :],
+                               (P, NF))
+    p_nf = jnp.broadcast_to(jnp.arange(P, dtype=jnp.int32)[:, None],
+                            (P, NF))
+    slot_ce = jnp.where(rk > 0, jnp.minimum(rb2, CE), CE)
+    row_map = jnp.zeros((P, CE + 1), jnp.int32).at[p_nf, slot_ce].max(
+        rows_nf)
+    row_sel = jax.lax.cummax(row_map[:, :CE], axis=1)
     col_sel = ce_ids - jnp.take_along_axis(rb2, row_sel, axis=1)
     end_valid = (col_sel >= 0) & \
         (col_sel < jnp.take_along_axis(rk, row_sel, axis=1))
     src_row = p_rows * NF + row_sel
     col_cl = jnp.clip(col_sel, 0, PF - 1)
-    qmn_w, qmx_w, rmn_w, rmx_w = (f[src_row, col_cl]
-                                  for f in (s_qmn, s_qmx, s_rmn, s_rmx))
+    # ONE stacked gather for the four end planes (per-element index
+    # resolution dominates gather cost)
+    s4 = jnp.stack([s_qmn, s_qmx, s_rmn, s_rmx], axis=2)  # [R, PF, 4]
+    g4 = s4[src_row, col_cl]                              # [P, CE, 4]
+    qmn_w, qmx_w, rmn_w, rmx_w = (g4[:, :, w] for w in range(4))
     end_qmn, end_qmx = (
         jnp.where(end_valid, (w >> 2).astype(jnp.int32), I32_SENTINEL)
         for w in (qmn_w, qmx_w))
@@ -1211,9 +1229,13 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     q_cid = jnp.clip(queries.contig_ids.reshape(-1), 0, C - 1)
     q_pos = queries.positions.reshape(-1)
     flat = qi_id * (C + 1) + q_cid
-    gq = q_starts.reshape(-1)[flat] + q_pos
     frag = q_frag_offs.reshape(-1)[flat] + q_pos // fl
-    q_p1 = (gq << 1) | queries.strands.reshape(-1).astype(jnp.int32)
+    # q_p1 carries the CONTIG-LOCAL position: within a fragment the
+    # query contig is fixed, so ordering by qpos equals ordering by
+    # (qcid, qpos) and the genome-global coordinate never needs to be
+    # formed (the r4 layout carried gq and converted back to qpos after
+    # the rowid sort with a 6.3 ms per-anchor table gather)
+    q_p1 = (q_pos << 1) | queries.strands.reshape(-1).astype(jnp.int32)
     q_p2 = jnp.where(frag < NF, qi_id * NF + frag, -1)
 
     kmer = jnp.concatenate([r_kmers, q_kmers])
@@ -1231,7 +1253,11 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     first = jnp.concatenate([jnp.ones(1, bool), kmer_s[1:] != kmer_s[:-1]])
     run_start = jax.lax.cummax(jnp.where(first, i, 0))
     r_excl = jnp.cumsum((~tag_q).astype(jnp.int32)) - (~tag_q).astype(jnp.int32)
-    rc = jnp.where(tag_q, r_excl - r_excl[run_start], 0).astype(jnp.int32)
+    # r_excl[run_start] via a cummax fill instead of an n-scale gather:
+    # r_excl is non-decreasing, so the running max of its run-start
+    # samples reproduces the gather exactly (measured 2.8 ms saved)
+    r_excl_rs = jax.lax.cummax(jnp.where(first, r_excl, 0))
+    rc = jnp.where(tag_q, r_excl - r_excl_rs, 0).astype(jnp.int32)
     is_sent = kmer_s == SENT
     ok = tag_q & (~is_sent) & (rc > 0)
     counts = jnp.where(ok, rc, 0)
@@ -1242,19 +1268,32 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     A = total_anchors
     t = jnp.arange(A, dtype=jnp.int32)
     slot0 = jnp.where(ok, offs, A)
-    src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
-    src = jax.lax.cummax(src_map[:A])
+    if cap * (G_r + G_q) <= 255 and n < (1 << 23):
+        # ONE packed scatter for (source index, run offset): within a
+        # k-mer run every genome contributes at most `cap` premasked
+        # occurrences, so i - run_start < cap * (G_r + G_q) fits 8 bits
+        # and (i << 8 | delta) stays monotone in i — halving the anchor
+        # inversion's scatter cost (2 x 3.2 ms per 8x8 tile)
+        pm = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
+            jnp.where(ok, (i << 8) | (i - run_start), 0))
+        fill = jax.lax.cummax(pm[:A])
+        src = fill >> 8
+        rs_fill = src - (fill & 255)
+    else:
+        src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
+        src = jax.lax.cummax(src_map[:A])
+        # run_start[src] via a second scatter+cummax instead of a
+        # gather: run_start is non-decreasing in i, so the cummax fill
+        # between consecutive ok slots reproduces the gather exactly
+        rs_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
+            jnp.where(ok, run_start, 0))
+        rs_fill = jax.lax.cummax(rs_map[:A])
     # j = slot rank within its source query = t - (first slot of src),
     # computed scan-style instead of gathering offs[src]
     src_first = jnp.concatenate([jnp.ones(1, bool), src[1:] != src[:-1]])
     j = t - jax.lax.cummax(jnp.where(src_first, t, 0))
     a_valid = t < total
-    # run_start[src] via a second scatter+cummax instead of a gather:
-    # run_start is itself non-decreasing in i, so the cummax fill between
-    # consecutive ok slots reproduces the gather exactly
-    rs_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
-        jnp.where(ok, run_start, 0))
-    r_sorted_idx = jnp.minimum(jax.lax.cummax(rs_map[:A]) + j, n - 1)
+    r_sorted_idx = jnp.minimum(rs_fill + j, n - 1)
 
     # paired payload tables: one gather moves both words per side
     p12_s = jnp.stack([p1_s, p2_s], axis=1)          # [n, 2]
@@ -1263,7 +1302,7 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     q1, q2 = qp[:, 0], qp[:, 1]
     r1, r2 = rp[:, 0], rp[:, 1]
 
-    gq_a = q1 >> 1
+    qpos_a = q1 >> 1
     ftab = q2                                # qi*NF + frag, or -1
     rpos = r1
     g = r2 >> 15
@@ -1273,7 +1312,7 @@ def _block_join(refs: DeviceSketch, queries: DeviceSketch, cfg: ChainConfig,
     qi = jnp.clip(ftab, 0, NQ) // NF
     rowid = g * (G_q * NF) + jnp.maximum(ftab, 0)
     return dict(
-        gq=gq_a,
+        qpos=qpos_a,
         rowid=rowid,
         rpos=jnp.where(a_valid, rpos, I32_SENTINEL),
         rcid=jnp.where(a_valid, rcid, I32_SENTINEL),
@@ -1320,7 +1359,6 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     a = _block_join(refs, queries, cfg, total_anchors, q_starts,
                     q_frag_offs, NF)
     valid = a["valid"]
-    gq = a["gq"]
     rowid = a["rowid"]                                   # < P*NF <= 2^17
 
     # key 1 is sorted as uint32 with an all-ones sentinel: the max valid
@@ -1330,33 +1368,27 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     k1 = jnp.where(valid, ((rowid << 14) | a["rcid"]).astype(jnp.uint32),
                    jnp.uint32(0xFFFFFFFF))
     k2 = jnp.where(valid, a["rpos"], POS_BIG)
+    # payload carries the CONTIG-LOCAL qpos (the query contig is fixed
+    # within a fragment, so the 3-key (k1, k2, qpos) order equals the
+    # stable 5-key order, exactly as in chain_triangle)
     payload = jnp.where(
         valid,
-        (gq.astype(jnp.uint32) << 2) | (a["rev"].astype(jnp.uint32) << 1)
-        | jnp.uint32(1),
+        (a["qpos"].astype(jnp.uint32) << 2)
+        | (a["rev"].astype(jnp.uint32) << 1) | jnp.uint32(1),
         jnp.uint32(0xFFFFFFFC))
     k1, k2, payload = jax.lax.sort((k1, k2, payload), num_keys=3)
 
     valid_s = (payload & 1) == 1
     rev_s = (payload & 2) == 2
-    gq_s = (payload >> 2).astype(jnp.int32)
+    qpos_s = (payload >> 2).astype(jnp.int32)
     rowid_s = jnp.where(valid_s, (k1 >> 14).astype(jnp.int32), I32_SENTINEL)
     rcid_s = (k1 & 0x3FFF).astype(jnp.int32)
     rpos_s = k2
-    pair_s = jnp.clip(rowid_s // NF, 0, P - 1)
-    frag_s = rowid_s - pair_s * NF
-    qi_s = pair_s % G_q
-    # fragment -> query contig lookup per query genome
+    # fragment -> query contig lookup per query genome (post-DP tables)
     frag_ids = jnp.arange(NF, dtype=jnp.int32)
     frag_cid_tab = jnp.clip(
         (jax.vmap(lambda fo: jnp.searchsorted(fo, frag_ids, side="right"))(
             q_frag_offs) - 1).astype(jnp.int32), 0, C - 1)  # [G_q, NF]
-    # qpos via ONE row-indexed table: the row (pair, fragment) determines
-    # the query contig, so its global start is a [G_q, NF] lookup — one
-    # gather per anchor instead of two (contig id, then start)
-    row_qstart = jnp.take_along_axis(q_starts, frag_cid_tab, axis=1)
-    qpos_s = gq_s - row_qstart.reshape(-1)[
-        qi_s * NF + jnp.clip(frag_s, 0, NF - 1)]
 
     rbits = rcid_bits_for(refs.contig_lengths.shape[1])
     okv = valid_s & (rowid_s < P * NF)
@@ -1364,13 +1396,14 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     # below reads only each row's leading slice), so the packed valid
     # bit needs no rank test
     w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, okv, rbits)
-    # positions past the packed w2 range corrupt results; query-side gq
-    # rides w1 as gq<<2, so genomes >= 2^30 bp total overflow there too.
-    # Both are reported loudly (check_overflow raises) — Database.query
-    # pre-checks contig lengths and reroutes such pairs through the
+    # positions past the packed w1/w2 ranges corrupt results: ref
+    # contigs >= 2^(32-rbits) bp, query contigs >= 2^30 bp (qpos rides
+    # w1 as qpos<<2).  Both are reported loudly (check_overflow raises)
+    # — Database.query pre-checks and reroutes such pairs through the
     # full-range per-pair path instead.
     pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
-        jnp.any(queries.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
+        jnp.any(queries.contig_lengths.astype(jnp.uint32) >=
+                jnp.uint32(1 << 30))
     # TWO uint32 grid planes (qpos/rev/valid in w1, rpos/rcid in w2),
     # built by per-row sliced gather from the sorted stream
     w1g, w2g, row_bounds = _grid_from_sorted_stream(
@@ -1468,14 +1501,24 @@ def _triangle_self_join(gs: DeviceSketch, cfg: ChainConfig,
     A = total_anchors
     t = jnp.arange(A, dtype=jnp.int32)
     slot0 = jnp.where(ok, offs, A)
-    src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
-    src = jax.lax.cummax(src_map[:A])
+    if cap * G <= 255 and n < (1 << 23):
+        # packed single-scatter inversion (see _block_join): run length
+        # <= cap * G, so the run offset rides 8 low bits
+        pm = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
+            jnp.where(ok, (i << 8) | (i - run_start), 0))
+        fill = jax.lax.cummax(pm[:A])
+        src = fill >> 8
+        rs_fill = src - (fill & 255)
+    else:
+        src_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(i)
+        src = jax.lax.cummax(src_map[:A])
+        rs_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
+            jnp.where(ok, run_start, 0))
+        rs_fill = jax.lax.cummax(rs_map[:A])
     src_first = jnp.concatenate([jnp.ones(1, bool), src[1:] != src[:-1]])
     j = t - jax.lax.cummax(jnp.where(src_first, t, 0))
     a_valid = t < total
-    rs_map = jnp.zeros(A + 1, jnp.int32).at[slot0].max(
-        jnp.where(ok, run_start, 0))
-    r_idx = jnp.minimum(jax.lax.cummax(rs_map[:A]) + j, n - 1)
+    r_idx = jnp.minimum(rs_fill + j, n - 1)
 
     p3 = jnp.stack([pos_s, gcs_s, fragw_s], axis=1)      # [n, 3]
     qp = p3[src]
@@ -1572,10 +1615,11 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     rbits = rcid_bits_for(genomes.contig_lengths.shape[1])
     okv = valid_s & (rowid_s < P * NF)
     w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, okv, rbits)
-    # see chain_block: w2 caps positions at 2^(32-rbits); w1 caps
-    # genome-global query positions at 2^30
+    # see chain_block: w2 caps ref positions at 2^(32-rbits); w1 caps
+    # contig-local query positions at 2^30
     pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
-        jnp.any(genomes.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
+        jnp.any(genomes.contig_lengths.astype(jnp.uint32) >=
+                jnp.uint32(1 << 30))
     # per-row sliced gather from the sorted stream (see chain_block)
     w1g, w2g, row_bounds = _grid_from_sorted_stream(
         rowid_s, w1, w2, P, NF, PF)

@@ -36,6 +36,14 @@ def enable_compilation_cache(path: str | None = None) -> str:
         return path
     import jax
 
+    # accelerator executables serialize portably; XLA:CPU AOT results
+    # are compiled for the exact host CPU feature set, and DEserialising
+    # one written by a different machine can SIGILL/segfault (observed:
+    # a cache populated on an avx512 host crashed the CPU test suite on
+    # the next host).  CPU compiles are fast — skip the persistent
+    # cache entirely off-accelerator.
+    if jax.default_backend() == "cpu":
+        return ""
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -69,3 +69,20 @@ def mutate(rng: np.random.Generator, genome: bytes, sub_rate: float = 0.02,
         prev = cut
     out.append(arr[prev:].tobytes())
     return b"".join(out)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables + tracing caches after each module.
+
+    The suite compiles hundreds of XLA:CPU programs in one process;
+    without this, accumulated compiler/executable state occasionally
+    segfaults LLVM mid-compile late in the run (observed twice in
+    test_params_api after ~110 green tests — never reproducible in
+    isolation).  Costs a few re-compiles for the handful of shapes
+    shared across modules.
+    """
+    yield
+    import jax
+
+    jax.clear_caches()
