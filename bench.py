@@ -35,7 +35,7 @@ SINGLE_CORE_SKANI_PAIRS_PER_S = 30.0  # documented estimate (BENCH_NOTES.md)
 
 N_GENOMES = int(os.environ.get("BENCH_GENOMES", "32"))
 GENOME_LEN = int(os.environ.get("BENCH_GENOME_LEN", str(2_300_000)))
-BLOCK = int(os.environ.get("BENCH_BLOCK", "8"))
+BLOCK = int(os.environ.get("BENCH_BLOCK", "16"))
 MODE = os.environ.get("BENCH_MODE", "block")  # "block" | "triangle"
 
 
@@ -199,7 +199,12 @@ def main():
     budgets = EngineBudgets(
         max_anchors=round_up(batch.kmers.shape[1] * 3 // 2 + 4096, 8192),
         max_fragments=nf,
-        max_anchors_per_fragment=256)
+        max_anchors_per_fragment=256,
+        # the ~99%-ANI family keeps <= ~115 chains/pair (measured); the
+        # library default 2048 sizes for fragmented drafts.  run(check=
+        # True) asserts n_chains <= this, so saturation fails loudly
+        # instead of degrading results.
+        max_chains_per_pair=256)
     ri, qi = np.triu_indices(N_GENOMES, k=1)
     n_pairs = len(ri)
 
