@@ -34,6 +34,7 @@ class Hit:
         query_fraction: float,
         reference_name: str,
         reference_fraction: float,
+        *,
         ci_low: Optional[float] = None,
         ci_high: Optional[float] = None,
     ) -> None: ...

@@ -94,10 +94,14 @@ def _partition_blockable(by_name, shortlist, query_total: int = 0):
     it is excluded, which can only GROW the cap, so the loop converges).
 
     Queries >= 2^30 bp total route EVERY reference through the
-    full-range path: the packed block grids carry genome-global query
-    positions as gq<<2 in a uint32 word, while the per-pair pipeline
-    keeps per-contig coordinates and has no total-length cap (reference
-    contract: totals are usize, lib.rs:160).
+    full-range path: the block pipeline's POST-DP stage works in
+    genome-global int32 coordinates with a 2^30 padding sentinel
+    (_denom_prefix / _post_dp_block), so larger totals would corrupt
+    span denominators there even though the grid payload itself is
+    contig-local; the per-pair pipeline keeps per-contig coordinates
+    end to end and has no total-length cap (reference contract: totals
+    are usize, lib.rs:160).  chain_block flags such totals via
+    pos_overflow as a backstop for direct callers.
     """
     from .ops.chain import rcid_bits_for
     from .ops.sketch import contig_budget_for

@@ -357,6 +357,17 @@ def check_overflow(out: dict, budgets: EngineBudgets,
             "block-grid range (ref contigs >= 2^(32-rcid_bits) bp or a "
             "query genome >= 2^30 bp) — use the per-pair path for such "
             "genomes")
+    frag_over = "frag_overflow" in out and bool(np.any(np.asarray(
+        out["frag_overflow"])))
+    if frag_over:
+        # anchors past the fragment-grid budget were DROPPED — results
+        # for the owning pairs are truncated, so this raises like
+        # pos_overflow (size max_fragments to the largest genome's
+        # fragment count)
+        problems.append(
+            "fragment budget overflow: a genome has anchors beyond "
+            "max_fragments * fragment_length — raise max_fragments to "
+            "cover the largest genome")
     if "anchors_overflow" in out and bool(np.any(np.asarray(
             out["anchors_overflow"]))):
         problems.append("anchor budget overflow: the shared anchor pool "
@@ -368,7 +379,7 @@ def check_overflow(out: dict, budgets: EngineBudgets,
             problems.append(
                 f"chain table overflow: a pair kept {mx} chains > "
                 f"max_chains_per_pair={budgets.max_chains_per_pair}")
-    if problems and (pos_over or raise_on_overflow):
+    if problems and (pos_over or frag_over or raise_on_overflow):
         raise RuntimeError("; ".join(problems))
     for msg in problems:
         warnings.warn(msg, RuntimeWarning, stacklevel=3)

@@ -190,6 +190,12 @@ def _pre_dp(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
     cid_safe = jnp.clip(a["qcid"], 0, C - 1)
     frag = q_frag_offs[cid_safe] + a["qpos"] // fl
     valid = a["valid"]
+    # anchors whose fragment exceeds the grid budget are silently
+    # dropped by the row-bounded grid build below — report it loudly
+    # (check_overflow raises: results would be truncated).  This is the
+    # full-range path's only budget-bound coordinate, so callers with
+    # multi-Gbp genomes must size max_fragments to the genome.
+    frag_overflow = jnp.any(valid & (frag >= NF))
 
     # ---- sort anchors by (frag, rcid, rpos, qpos): the full-range
     # ("wide") order.  The query contig id is constant within a fragment,
@@ -246,7 +252,7 @@ def _pre_dp(ref: DeviceSketch, query: DeviceSketch, cfg: ChainConfig,
         "rpos": jnp.where(ok_g, g[:, :, 1], I32_SENTINEL),
         "meta": jnp.where(ok_g, g[:, :, 2], 0),
     }
-    return grid, a["n_anchors"], a["anchors_overflow"]
+    return grid, a["n_anchors"], a["anchors_overflow"], frag_overflow
 
 
 def _unpack_meta(grid):
@@ -756,7 +762,7 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
     dict of [B] arrays.
     """
     _check_supported(cfg)
-    grids, n_anchors, overflow = jax.vmap(
+    grids, n_anchors, overflow, frag_overflow = jax.vmap(
         lambda r, q: _pre_dp(r, q, cfg, budgets))(refs, queries)
     B, NF, PF = grids["qpos"].shape
     merged = jax.tree.map(lambda x: x.reshape(B * NF, PF), grids)
@@ -768,6 +774,7 @@ def chain_pairs(refs: DeviceSketch, queries: DeviceSketch, *,
         refs, queries, grids, scores, roots)
     out["n_anchors"] = n_anchors
     out["anchors_overflow"] = overflow
+    out["frag_overflow"] = frag_overflow
     return out
 
 
@@ -1398,12 +1405,17 @@ def chain_block(refs: DeviceSketch, queries: DeviceSketch, *,
     w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, okv, rbits)
     # positions past the packed w1/w2 ranges corrupt results: ref
     # contigs >= 2^(32-rbits) bp, query contigs >= 2^30 bp (qpos rides
-    # w1 as qpos<<2).  Both are reported loudly (check_overflow raises)
-    # — Database.query pre-checks and reroutes such pairs through the
-    # full-range per-pair path instead.
+    # w1 as qpos<<2).  Query TOTALS >= 2^30 bp are also flagged: the
+    # block post-DP (_denom_prefix/_post_dp_block) works in
+    # genome-global int32 coordinates with a 2^30 padding sentinel, so
+    # larger totals would silently corrupt span denominators even when
+    # every contig fits the packed word.  All are reported loudly
+    # (check_overflow raises) — Database.query pre-checks and reroutes
+    # such genomes through the full-range per-pair path instead.
     pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
         jnp.any(queries.contig_lengths.astype(jnp.uint32) >=
-                jnp.uint32(1 << 30))
+                jnp.uint32(1 << 30)) | \
+        jnp.any(queries.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
     # TWO uint32 grid planes (qpos/rev/valid in w1, rpos/rcid in w2),
     # built by per-row sliced gather from the sorted stream
     w1g, w2g, row_bounds = _grid_from_sorted_stream(
@@ -1616,10 +1628,12 @@ def chain_triangle(genomes: DeviceSketch, *, cfg: ChainConfig,
     okv = valid_s & (rowid_s < P * NF)
     w1, w2 = _pack_grid_words(qpos_s, rpos_s, rcid_s, rev_s, okv, rbits)
     # see chain_block: w2 caps ref positions at 2^(32-rbits); w1 caps
-    # contig-local query positions at 2^30
+    # contig-local query positions at 2^30; genome TOTALS >= 2^30 are
+    # flagged too (the block post-DP uses genome-global coordinates)
     pos_overflow = jnp.any(valid_s & (rpos_s >= (1 << (32 - rbits)))) | \
         jnp.any(genomes.contig_lengths.astype(jnp.uint32) >=
-                jnp.uint32(1 << 30))
+                jnp.uint32(1 << 30)) | \
+        jnp.any(genomes.total_len.astype(jnp.uint32) >= jnp.uint32(1 << 30))
     # per-row sliced gather from the sorted stream (see chain_block)
     w1g, w2g, row_bounds = _grid_from_sorted_stream(
         rowid_s, w1, w2, P, NF, PF)

@@ -573,6 +573,11 @@ def _plan_sketch_pieces(kept: Sequence[bytes], K: int, max_buffer: int):
     ends below ``floor`` so the chunk outputs tile the contig's windows
     exactly once.  Returns a list of calls, each a list of pieces.
     """
+    if max_buffer < 4 * K:
+        # a continuation piece must make progress past its K-1 overlap
+        raise ValueError(f"max_buffer={max_buffer} too small for "
+                         f"k-mer windows of up to {K} bases (need >= "
+                         f"{4 * K})")
     pieces = []
     for cid, contig in enumerate(kept):
         n = len(contig)

@@ -152,6 +152,7 @@ def make_sharded_search(mesh: Mesh, cfg: ChainConfig, budgets: EngineBudgets,
         "ani_median": P("db", "batch"), "af_query": P("db", "batch"),
         "af_ref": P("db", "batch"), "n_anchors": P("db", "batch"),
         "anchors_overflow": P("db", "batch"),
+        "frag_overflow": P("db", "batch"),
         "n_fragments": P("db", "batch"),
         "screen_pass": P("db", "batch"),
         "total_hits": P(),
@@ -237,6 +238,11 @@ def _triangle_with_giants(batch: DeviceSketch, mesh: Mesh, mask: np.ndarray,
     giants = set(np.where(mask)[0].tolist())
     keep = np.array([i for i in range(G) if i not in giants], np.int32)
     host = jax.device_get(batch)
+    # NOTE on budgets: the per-pair fallback drops anchors whose
+    # fragment index exceeds budgets.max_fragments — chain_pairs
+    # reports that through its frag_overflow output, which the
+    # check_overflow below RAISES on, so an undersized mesh budget
+    # fails loudly instead of silently truncating giant-pair ANI/AF
     parts = []
     if len(keep) >= 2:
         sub = jax.tree.map(lambda x: np.asarray(x)[keep], host)

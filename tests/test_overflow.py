@@ -76,3 +76,23 @@ def test_pos_overflow_raises():
            "n_chains": np.array([1])}
     with pytest.raises(RuntimeError, match="contig coordinate overflow"):
         check_overflow(out, EngineBudgets())
+
+
+def test_frag_overflow_raises(pairbatch):
+    """Anchors beyond the fragment-grid budget are DROPPED on the
+    full-range per-pair path — chain_pairs must report it and
+    check_overflow must raise (truncated results), instead of silently
+    underestimating ANI/AF (code-review r5 finding)."""
+    from pyskani_tpu.engine.batch import take_sketch
+    from pyskani_tpu.ops.chain import chain_pairs
+
+    r = take_sketch(pairbatch, np.array([0], np.int32))
+    q = take_sketch(pairbatch, np.array([1], np.int32))
+    # genomes in this fixture span several fragments; max_fragments=1
+    # guarantees real anchors land beyond the grid
+    budgets = EngineBudgets(max_anchors=4096, max_fragments=1,
+                            max_anchors_per_fragment=128)
+    out = chain_pairs(r, q, cfg=CFG, budgets=budgets)
+    assert bool(np.asarray(out["frag_overflow"]).any())
+    with pytest.raises(RuntimeError, match="fragment budget overflow"):
+        check_overflow(out, budgets)
